@@ -1,0 +1,90 @@
+"""Benchmark: quantized scoring throughput on one TPU chip.
+
+Measures the eval harness's hot path (BASELINE.json config #1 shape: GPT-2
+124M, LNS8) — tokens/sec/chip for the jitted score step with LNS8 activation
+quantization (the reference's headline format), and the same step in plain
+bf16 as the roofline reference. Prints ONE JSON line:
+
+  {"metric": ..., "value": tokens/s (quantized), "unit": "tokens/s/chip",
+   "vs_baseline": quantized/bf16 ratio}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+fraction of unquantized-bf16 throughput the quantized path sustains — the
+quantity the Pallas kernel tier is meant to drive toward (and beyond) 1.0.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _score_fn(bundle, actq):
+    def fn(params, tokens, targets, mask):
+        logits = bundle.forward(params, bundle.cfg, tokens, actq)
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+        ll = jnp.sum(jnp.where(mask, tgt - logz, 0.0), axis=-1)
+        greedy = jnp.all(
+            jnp.where(mask, jnp.argmax(logits, axis=-1) == targets, True), axis=-1
+        )
+        return ll, greedy
+
+    return jax.jit(fn)
+
+
+def _throughput(fn, params, tokens, targets, mask, iters=8):
+    # warmup + compile
+    ll, g = fn(params, tokens, targets, mask)
+    ll.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ll, g = fn(params, tokens, targets, mask)
+    ll.block_until_ready()
+    dt = time.perf_counter() - t0
+    B, T = tokens.shape
+    return B * T * iters / dt
+
+
+def main():
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
+
+    B, T = 8, 1024
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 50000, (B, T)).astype(np.int32))
+    targets = jnp.asarray(rng.integers(0, 50000, (B, T)).astype(np.int32))
+    mask = jnp.ones((B, T), bool)
+
+    # bf16 reference
+    base = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16)
+    base_fn = _score_fn(base, ActQuantizer(QuantConfig()))
+    base_tps = _throughput(base_fn, base.params, tokens, targets, mask)
+
+    # LNS8 weight+activation quantized path (fake-quant, XLA-fused)
+    quant = QuantConfig(weights="lns8", acts="lns8")
+    qbundle = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16, quant=quant)
+    q_fn = _score_fn(qbundle, ActQuantizer(quant))
+    q_tps = _throughput(q_fn, qbundle.params, tokens, targets, mask)
+
+    print(
+        json.dumps(
+            {
+                "metric": "gpt2_124m_lns8_w+a_score_throughput",
+                "value": round(q_tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(q_tps / base_tps, 4),
+                "baseline_bf16_tokens_per_s": round(base_tps, 1),
+                "batch": B,
+                "seq": T,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

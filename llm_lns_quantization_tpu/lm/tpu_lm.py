@@ -1,0 +1,364 @@
+"""TPULM: the TPU-native token-level LM engine.
+
+This is the replacement for the reference's ``BaseLM`` +
+``HuggingFaceAutoLM`` pair (reference lm_eval/base.py:121-472 and
+lm_eval/models/huggingface.py): it owns tokenization, request batching, the
+jitted score/decode computations and the quantization configuration.
+
+TPU-first design decisions (vs the reference's GPU/torch mechanics):
+
+* **On-device scoring.** The reference ships the full [batch, seq, vocab]
+  log-softmax back to host per batch (base.py:369-372) and gathers
+  continuation logprobs in Python. Here the jitted step computes the
+  continuation logprob-sum and exact-greedy-match *on device* and returns two
+  scalars per row — O(B) bytes over PCIe instead of O(B·S·V).
+* **Shape bucketing, not OOM probing.** The reference finds batch size by
+  halving on CUDA OOM (``find_executable_batch_size``, base.py:176-196).
+  Under XLA every distinct shape is a compilation, so instead sequences are
+  right-padded to power-of-two length buckets and batches to a fixed batch
+  size; the descending-length ``Reorderer`` sort (same trick as
+  base.py:275-289) keeps bucket switches rare.
+* **Static-shape greedy decode.** ``model.generate``'s dynamic stopping
+  (huggingface.py:2116-2125) is replaced by a ``lax.scan`` KV-cache decode
+  with a static token budget and an on-device all-rows-stopped early-exit
+  check; multi-token stop sequences are applied to the decoded text on host,
+  preserving MultiTokenEOSCriteria semantics (huggingface.py:2294-2340).
+
+Quantization is first-class: ``quant="w:lns4_dynamic_pervec;a:fp8"`` on the
+CLI selects weight/activation formats (see quant.config), replacing the
+reference's comment-block toggling.
+"""
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import utils
+from ..harness.api import LM
+from ..models import build_model
+from ..models.tokenizer import build_tokenizer
+from ..quant.apply import ActQuantizer
+from ..quant.config import QuantConfig
+
+_DEFAULT_MAX_LENGTH = 2048  # reference huggingface.py:79
+
+
+def _bucket_len(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class TPULM(LM):
+    def __init__(
+        self,
+        family: str = "gpt2",
+        pretrained: Optional[str] = None,
+        preset: str = "tiny",
+        tokenizer: Optional[str] = None,
+        quant: Optional[str] = None,
+        batch_size: int = 8,
+        max_batch_size: Optional[int] = None,
+        max_length: Optional[int] = None,
+        max_gen_toks: int = 256,
+        dtype: str = "bfloat16",
+        device: Optional[str] = None,
+        seed: int = 0,
+        mesh=None,
+        shard: bool = False,
+    ):
+        super().__init__()
+        del device  # device placement is XLA's job; kept for CLI compat
+        self.quant_config = (
+            quant if isinstance(quant, QuantConfig) else QuantConfig.parse(quant)
+        )
+        jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(dtype)]
+        self.bundle = build_model(
+            family=family,
+            preset=preset,
+            checkpoint=pretrained,
+            dtype=jdtype,
+            quant=self.quant_config,
+            seed=seed,
+        )
+        if tokenizer is None:
+            tokenizer = pretrained if pretrained is not None else "byte"
+        self.tokenizer = build_tokenizer(tokenizer)
+        self.actq = ActQuantizer(self.quant_config)
+
+        self._batch_size = int(batch_size) if str(batch_size) != "auto" else 8
+        self._max_gen_toks = max_gen_toks
+        self._max_length = int(max_length) if max_length else min(
+            self.bundle.max_length, _DEFAULT_MAX_LENGTH
+        )
+        self.batch_sizes = {}
+
+        self._mesh = mesh
+        self._shard = shard
+        self._params = self.bundle.params
+        if shard and mesh is not None:
+            from ..parallel import shard_params
+
+            self._params = shard_params(self._params, self.bundle, mesh)
+
+        self._score_jit = jax.jit(
+            functools.partial(self._score_step, self.bundle.cfg)
+        )
+        self._decode_jit = None  # built lazily per (batch, prompt_len, gen_len)
+
+    # ------------------------------------------------------------------
+    # properties (reference BaseLM contract)
+    # ------------------------------------------------------------------
+
+    @property
+    def eot_token_id(self):
+        return self.tokenizer.eot_token_id
+
+    @property
+    def max_length(self):
+        return self._max_length
+
+    @property
+    def max_gen_toks(self):
+        return self._max_gen_toks
+
+    @property
+    def batch_size(self):
+        return self._batch_size
+
+    def tok_encode(self, string: str) -> List[int]:
+        return self.tokenizer.encode(string)
+
+    def tok_decode(self, tokens) -> str:
+        return self.tokenizer.decode(tokens)
+
+    # ------------------------------------------------------------------
+    # scoring
+    # ------------------------------------------------------------------
+
+    def _score_step(self, cfg, params, tokens, targets, cont_mask):
+        """Jitted: per-row (sum of continuation logprobs, exact greedy match).
+
+        tokens/targets/cont_mask: [B, S]; positions where cont_mask is set
+        must predict ``targets``. Everything stays on device.
+        """
+        logits = self.bundle.forward(params, cfg, tokens, self.actq)
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tgt_logit = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+        logprobs = tgt_logit - logz
+        ll = jnp.sum(jnp.where(cont_mask, logprobs, 0.0), axis=-1)
+        greedy_tok = jnp.argmax(logits, axis=-1)
+        is_greedy = jnp.all(
+            jnp.where(cont_mask, greedy_tok == targets, True), axis=-1
+        )
+        return ll, is_greedy
+
+    def _encode_pair(self, context: str, continuation: str):
+        # trailing-space fixup: a word-boundary space belongs to the
+        # continuation (reference base.py:201-210)
+        n_spaces = len(context) - len(context.rstrip())
+        if n_spaces > 0:
+            continuation = context[-n_spaces:] + continuation
+            context = context[:-n_spaces]
+        whole_enc = self.tok_encode(context + continuation)
+        context_enc = self.tok_encode(context)
+        continuation_enc = whole_enc[len(context_enc):]
+        return context_enc, continuation_enc
+
+    def loglikelihood(self, requests):
+        new_reqs = []
+        for context, continuation in requests:
+            if context == "":
+                context_enc, continuation_enc = (
+                    [self.eot_token_id],
+                    self.tok_encode(continuation),
+                )
+            else:
+                context_enc, continuation_enc = self._encode_pair(context, continuation)
+            new_reqs.append(((context, continuation), context_enc, continuation_enc))
+        return self._loglikelihood_tokens(new_reqs)
+
+    def loglikelihood_rolling(self, requests):
+        loglikelihoods = []
+        for (string,) in requests:
+            windows = list(
+                map(
+                    utils.make_disjoint_window,
+                    utils.get_rolling_token_windows(
+                        token_list=self.tok_encode(string),
+                        prefix_token=self.eot_token_id,
+                        max_seq_len=self.max_length,
+                        context_len=1,
+                    ),
+                )
+            )
+            windows = [(None,) + x for x in windows]
+            string_nll = self._loglikelihood_tokens(windows)
+            loglikelihoods.append(sum(x[0] for x in string_nll))
+        return loglikelihoods
+
+    def _loglikelihood_tokens(self, requests) -> List[Tuple[float, bool]]:
+        res = []
+
+        def _collate(x):
+            toks = x[1] + x[2]
+            return -len(toks), tuple(toks)
+
+        re_ord = utils.Reorderer(requests, _collate)
+
+        for chunk in utils.chunks(re_ord.get_reordered(), self.batch_size):
+            rows_tokens, rows_targets, rows_mask = [], [], []
+            max_len = 0
+            metas = []
+            for cache_key, context_enc, continuation_enc in chunk:
+                assert len(context_enc) > 0
+                assert len(continuation_enc) > 0
+                assert len(continuation_enc) <= self.max_length
+                # left-truncate to the model window, drop the final token
+                # from the input (it is only ever a target):
+                #   input  = (ctx + cont)[-(max_len+1):][:-1]
+                #   target = shifted by one
+                whole = (context_enc + continuation_enc)[-(self.max_length + 1):]
+                inp = whole[:-1]
+                tgt = whole[1:]
+                contlen = len(continuation_enc)
+                mask = [False] * (len(inp) - contlen) + [True] * contlen
+                max_len = max(max_len, len(inp))
+                rows_tokens.append(inp)
+                rows_targets.append(tgt)
+                rows_mask.append(mask)
+                metas.append(cache_key)
+
+            S = _bucket_len(max_len)
+            B = len(chunk)
+            toks = np.zeros((B, S), np.int32)
+            tgts = np.zeros((B, S), np.int32)
+            mask = np.zeros((B, S), bool)
+            for i, (t, g, m) in enumerate(zip(rows_tokens, rows_targets, rows_mask)):
+                toks[i, : len(t)] = t
+                tgts[i, : len(g)] = g
+                mask[i, : len(m)] = m
+
+            ll, greedy = self._score_jit(self._params, toks, tgts, mask)
+            ll = np.asarray(jax.device_get(ll))
+            greedy = np.asarray(jax.device_get(greedy))
+            for i, cache_key in enumerate(metas):
+                answer = (float(ll[i]), bool(greedy[i]))
+                if cache_key is not None:
+                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
+                res.append(answer)
+
+        return re_ord.get_original(res)
+
+    # ------------------------------------------------------------------
+    # generation
+    # ------------------------------------------------------------------
+
+    def _build_decode(self, batch: int, prompt_len: int, gen_len: int):
+        """Greedy KV-cache decode over left-padded prompts.
+
+        Left padding (same choice as the reference's generation path,
+        huggingface.py:2085) keeps every prompt's last real token at a static
+        index; the attention mask hides pad keys and position ids start at 0
+        at the first real token.
+        """
+        cfg = self.bundle.cfg
+        forward = self.bundle.forward
+        actq = self.actq
+        total = prompt_len + gen_len
+
+        def decode(params, tokens, prompt_mask):
+            cache = self.bundle.init_cache(cfg, batch, total)
+            full_mask = jnp.concatenate(
+                [prompt_mask, jnp.ones((batch, gen_len), prompt_mask.dtype)], axis=1
+            )
+            positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0)
+            logits, cache = forward(
+                params,
+                cfg,
+                tokens,
+                actq,
+                cache=cache,
+                cache_index=0,
+                attn_mask=full_mask,
+                positions=positions,
+            )
+            next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            next_pos = positions[:, -1] + 1
+
+            def step(carry, i):
+                cache, tok, pos = carry
+                step_logits, cache = forward(
+                    params,
+                    cfg,
+                    tok[:, None],
+                    actq,
+                    cache=cache,
+                    cache_index=prompt_len + i,
+                    attn_mask=full_mask,
+                    positions=pos[:, None],
+                )
+                nxt = jnp.argmax(step_logits[:, 0, :], axis=-1).astype(jnp.int32)
+                return (cache, nxt, pos + 1), tok
+
+            (_, _, _), toks = jax.lax.scan(
+                step, (cache, next_tok, next_pos), jnp.arange(gen_len)
+            )
+            return toks.T  # [B, gen_len]
+
+        return jax.jit(decode)
+
+    def greedy_until(self, requests) -> List[str]:
+        res = []
+
+        def _collate(x):
+            return -len(self.tok_encode(x[0])), x[0]
+
+        re_ord = utils.Reorderer(requests, _collate)
+
+        for chunk in utils.chunks(re_ord.get_reordered(), self.batch_size):
+            contexts = [c for c, _ in chunk]
+            args = [a for _, a in chunk]
+            untils = []
+            for a in args:
+                u = a["until"] if isinstance(a, dict) else a
+                if isinstance(u, str):
+                    u = [u]
+                untils.append(u or [])
+            max_gen = min(
+                self.max_gen_toks,
+                max(
+                    (a.get("max_length", self.max_gen_toks) if isinstance(a, dict) else self.max_gen_toks)
+                    for a in args
+                ),
+            )
+
+            # left-truncate to max_length - max_gen_toks (huggingface.py:2101)
+            encs = [
+                self.tok_encode(ctx)[-(self.max_length - max_gen):]
+                for ctx in contexts
+            ]
+            prompt_len = _bucket_len(max(len(e) for e in encs))
+            B = len(chunk)
+            toks = np.full((B, prompt_len), self.eot_token_id, np.int32)
+            pmask = np.zeros((B, prompt_len), np.int32)
+            for i, e in enumerate(encs):
+                toks[i, prompt_len - len(e):] = e  # left-padded
+                pmask[i, prompt_len - len(e):] = 1
+
+            decode = self._build_decode(B, prompt_len, max_gen)
+            out = np.asarray(jax.device_get(decode(self._params, toks, pmask)))
+
+            for i, (ctx, until) in enumerate(zip(contexts, untils)):
+                s = self.tok_decode(out[i])
+                for term in until:
+                    s = s.split(term)[0]
+                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
+                res.append(s)
+
+        return re_ord.get_original(res)

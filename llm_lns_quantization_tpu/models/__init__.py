@@ -1,0 +1,81 @@
+"""JAX model zoo: architectures, tokenizers, checkpoint loading.
+
+``build_model`` is the single entry point the LM engine uses: it returns a
+``ModelBundle`` of (config, params, forward fn, cache init fn) for a model
+family + preset or local HF checkpoint, with weight-path quantization already
+applied (the reference did this as an in-place rewrite after model load,
+huggingface.py:1726-1763).
+"""
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+
+from ..quant.apply import ActQuantizer, quantize_weights
+from ..quant.config import QuantConfig
+from . import gpt2 as gpt2_mod
+from . import llama as llama_mod
+from . import opt as opt_mod
+
+
+@dataclass
+class ModelBundle:
+    family: str
+    cfg: Any
+    params: Any
+    forward: Callable  # forward(params, cfg, tokens, actq, cache=None, cache_index=None)
+    init_cache: Callable  # init_cache(cfg, batch, max_len)
+    max_length: int
+    quant_sites: tuple
+
+
+_FAMILIES = {
+    "gpt2": (gpt2_mod, "GPT2Config"),
+    "llama": (llama_mod, "LlamaConfig"),
+    "opt": (opt_mod, "OPTConfig"),
+}
+
+
+def build_model(
+    family: str = "gpt2",
+    preset: str = "tiny",
+    checkpoint: Optional[str] = None,
+    dtype: Any = None,
+    quant: Optional[QuantConfig] = None,
+    seed: int = 0,
+    config_overrides: Optional[dict] = None,
+) -> ModelBundle:
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown model family {family!r}; have {sorted(_FAMILIES)}")
+    mod, cfg_name = _FAMILIES[family]
+    cfg_cls = getattr(mod, cfg_name)
+
+    kw = dict(config_overrides or {})
+    if dtype is not None:
+        kw["dtype"] = dtype
+
+    if checkpoint is not None:
+        from .hf_loader import load_checkpoint
+
+        cfg, params = load_checkpoint(family, checkpoint, **kw)
+    else:
+        cfg = getattr(cfg_cls, preset)(**kw)
+        params = mod.init_params(jax.random.PRNGKey(seed), cfg)
+
+    if quant is not None and quant.weights:
+        params = quantize_weights(params, quant)
+
+    max_length = getattr(cfg, "n_positions", None) or getattr(cfg, "max_position_embeddings")
+    return ModelBundle(
+        family=family,
+        cfg=cfg,
+        params=params,
+        forward=mod.forward,
+        init_cache=mod.init_cache,
+        max_length=max_length,
+        quant_sites=mod.QUANT_SITES,
+    )
+
+
+__all__ = ["ModelBundle", "build_model", "ActQuantizer", "QuantConfig"]

@@ -1,0 +1,223 @@
+"""Load HF checkpoints (safetensors / torch .bin) into JAX param pytrees.
+
+Replaces the reference's ``AUTO_MODEL_CLASS.from_pretrained`` path
+(huggingface.py:1844-1857) with a direct tensor-name mapping: read
+``config.json`` + weight shards from a local directory, place each tensor
+into the pytree layout of models/{gpt2,llama,opt}.py. No network access.
+"""
+
+import json
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _read_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _load_tensors(path: str) -> dict:
+    """Read all weight shards in a checkpoint dir into {name: np.ndarray}."""
+    tensors = {}
+    st_files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(path, fname), framework="np") as f:
+                for name in f.keys():
+                    tensors[name] = f.get_tensor(name)
+        return tensors
+    bin_files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".bin") and f.startswith("pytorch_model")
+    )
+    if bin_files:
+        import torch
+
+        for fname in bin_files:
+            sd = torch.load(
+                os.path.join(path, fname), map_location="cpu", weights_only=True
+            )
+            for name, t in sd.items():
+                tensors[name] = t.float().numpy()
+        return tensors
+    raise FileNotFoundError(f"no safetensors/bin weight files under {path}")
+
+
+def _j(x, dtype):
+    x = np.asarray(x)
+    if x.dtype == np.float16 or x.dtype.kind == "V":  # bf16 comes out as void16
+        x = x.view(np.uint16) if x.dtype.kind == "V" else x
+    arr = jnp.asarray(x)
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        arr = arr.astype(dtype)
+    return arr
+
+
+def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> Tuple:
+    cfg_json = _read_config(path)
+    tensors = _load_tensors(path)
+    if family == "gpt2":
+        return _load_gpt2(cfg_json, tensors, dtype, overrides)
+    if family == "llama":
+        return _load_llama(cfg_json, tensors, dtype, overrides)
+    if family == "opt":
+        return _load_opt(cfg_json, tensors, dtype, overrides)
+    raise ValueError(f"no HF loader for family {family!r}")
+
+
+def _strip_prefix(tensors, prefixes=("transformer.", "model.")):
+    out = {}
+    for name, t in tensors.items():
+        for p in prefixes:
+            if name.startswith(p):
+                name = name[len(p):]
+                break
+        out[name] = t
+    return out
+
+
+def _load_gpt2(cfg_json, tensors, dtype, overrides):
+    from .gpt2 import GPT2Config
+
+    cfg = GPT2Config(
+        vocab_size=cfg_json["vocab_size"],
+        n_positions=cfg_json["n_positions"],
+        n_embd=cfg_json["n_embd"],
+        n_layer=cfg_json["n_layer"],
+        n_head=cfg_json["n_head"],
+        layer_norm_epsilon=cfg_json.get("layer_norm_epsilon", 1e-5),
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+    params = {
+        "wte": _j(t["wte.weight"], dtype),
+        "wpe": _j(t["wpe.weight"], dtype),
+        "ln_f": {"g": _j(t["ln_f.weight"], dtype), "b": _j(t["ln_f.bias"], dtype)},
+        "h": [],
+    }
+    for i in range(cfg.n_layer):
+        pre = f"h.{i}."
+        params["h"].append(
+            {
+                "ln_1": {"g": _j(t[pre + "ln_1.weight"], dtype), "b": _j(t[pre + "ln_1.bias"], dtype)},
+                "ln_2": {"g": _j(t[pre + "ln_2.weight"], dtype), "b": _j(t[pre + "ln_2.bias"], dtype)},
+                "attn": {
+                    # HF GPT-2 Conv1D stores [in, out] — same as our layout
+                    "c_attn_w": _j(t[pre + "attn.c_attn.weight"], dtype),
+                    "c_attn_b": _j(t[pre + "attn.c_attn.bias"], dtype),
+                    "c_proj_w": _j(t[pre + "attn.c_proj.weight"], dtype),
+                    "c_proj_b": _j(t[pre + "attn.c_proj.bias"], dtype),
+                },
+                "mlp": {
+                    "c_fc_w": _j(t[pre + "mlp.c_fc.weight"], dtype),
+                    "c_fc_b": _j(t[pre + "mlp.c_fc.bias"], dtype),
+                    "c_proj_w": _j(t[pre + "mlp.c_proj.weight"], dtype),
+                    "c_proj_b": _j(t[pre + "mlp.c_proj.bias"], dtype),
+                },
+            }
+        )
+    return cfg, params
+
+
+def _load_llama(cfg_json, tensors, dtype, overrides):
+    from .llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=cfg_json["vocab_size"],
+        max_position_embeddings=cfg_json["max_position_embeddings"],
+        hidden_size=cfg_json["hidden_size"],
+        intermediate_size=cfg_json["intermediate_size"],
+        num_hidden_layers=cfg_json["num_hidden_layers"],
+        num_attention_heads=cfg_json["num_attention_heads"],
+        num_key_value_heads=cfg_json.get(
+            "num_key_value_heads", cfg_json["num_attention_heads"]
+        ),
+        rms_norm_eps=cfg_json.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg_json.get("rope_theta", 10000.0),
+        tie_word_embeddings=cfg_json.get("tie_word_embeddings", False),
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+    params = {
+        "embed": _j(t["embed_tokens.weight"], dtype),
+        "final_norm": _j(t["norm.weight"], dtype),
+        "layers": [],
+    }
+    if not cfg.tie_word_embeddings:
+        # HF stores nn.Linear [out, in]; ours is [in, out]
+        params["lm_head"] = _j(t["lm_head.weight"], dtype).T
+    for i in range(cfg.num_hidden_layers):
+        pre = f"layers.{i}."
+        params["layers"].append(
+            {
+                "input_norm": _j(t[pre + "input_layernorm.weight"], dtype),
+                "post_attn_norm": _j(t[pre + "post_attention_layernorm.weight"], dtype),
+                "q_proj": _j(t[pre + "self_attn.q_proj.weight"], dtype).T,
+                "k_proj": _j(t[pre + "self_attn.k_proj.weight"], dtype).T,
+                "v_proj": _j(t[pre + "self_attn.v_proj.weight"], dtype).T,
+                "o_proj": _j(t[pre + "self_attn.o_proj.weight"], dtype).T,
+                "gate_proj": _j(t[pre + "mlp.gate_proj.weight"], dtype).T,
+                "up_proj": _j(t[pre + "mlp.up_proj.weight"], dtype).T,
+                "down_proj": _j(t[pre + "mlp.down_proj.weight"], dtype).T,
+            }
+        )
+    return cfg, params
+
+
+def _load_opt(cfg_json, tensors, dtype, overrides):
+    from .opt import OPTConfig
+
+    cfg = OPTConfig(
+        vocab_size=cfg_json["vocab_size"],
+        max_position_embeddings=cfg_json["max_position_embeddings"],
+        hidden_size=cfg_json["hidden_size"],
+        ffn_dim=cfg_json["ffn_dim"],
+        num_hidden_layers=cfg_json["num_hidden_layers"],
+        num_attention_heads=cfg_json["num_attention_heads"],
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+    t = {k.replace("decoder.", ""): v for k, v in t.items()}
+
+    def lin(pre):
+        return {"w": _j(t[pre + ".weight"], dtype).T, "b": _j(t[pre + ".bias"], dtype)}
+
+    params = {
+        "embed": _j(t["embed_tokens.weight"], dtype),
+        "embed_pos": _j(t["embed_positions.weight"], dtype),
+        "final_ln": {
+            "g": _j(t["final_layer_norm.weight"], dtype),
+            "b": _j(t["final_layer_norm.bias"], dtype),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"layers.{i}."
+        params["layers"].append(
+            {
+                "self_attn_ln": {
+                    "g": _j(t[pre + "self_attn_layer_norm.weight"], dtype),
+                    "b": _j(t[pre + "self_attn_layer_norm.bias"], dtype),
+                },
+                "final_ln": {
+                    "g": _j(t[pre + "final_layer_norm.weight"], dtype),
+                    "b": _j(t[pre + "final_layer_norm.bias"], dtype),
+                },
+                "q_proj": lin(pre + "self_attn.q_proj"),
+                "k_proj": lin(pre + "self_attn.k_proj"),
+                "v_proj": lin(pre + "self_attn.v_proj"),
+                "out_proj": lin(pre + "self_attn.out_proj"),
+                "fc1": lin(pre + "fc1"),
+                "fc2": lin(pre + "fc2"),
+            }
+        )
+    return cfg, params

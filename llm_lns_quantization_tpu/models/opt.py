@@ -1,0 +1,196 @@
+"""OPT decoder (learned positions with +2 offset, pre-LN, ReLU MLP).
+
+OPT-1.3B is BASELINE.json config #2. QUANT_SITES per the reference hook rule:
+``nn.LayerNorm`` and ``nn.ReLU`` are both excluded, so sites are the
+embeddings, the four attention projections, the two MLP linears, and lm_head
+(mirrors GPT-2's site set with separate q/k/v projections).
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.apply import NULL_ACT_QUANT, ActQuantizer
+from .layers import cast_floats, dense, initializer, layer_norm
+
+QUANT_SITES = (
+    "embed",
+    "embed_pos",
+    "attn_q",
+    "attn_k",
+    "attn_v",
+    "attn_out",
+    "mlp_fc1",
+    "mlp_fc2",
+    "lm_head",
+)
+
+_POS_OFFSET = 2  # OPT's learned position table skips the first 2 rows
+
+
+@dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    max_position_embeddings: int = 2048
+    hidden_size: int = 2048
+    ffn_dim: int = 8192
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 32
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def opt_1_3b(cls, **kw):
+        return cls(**kw)
+
+    @classmethod
+    def opt_125m(cls, **kw):
+        base = dict(
+            hidden_size=768, ffn_dim=3072, num_hidden_layers=12,
+            num_attention_heads=12,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(
+            vocab_size=256, max_position_embeddings=128, hidden_size=64,
+            ffn_dim=128, num_hidden_layers=2, num_attention_heads=4,
+            dtype=jnp.float32,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_attention_heads
+
+
+def init_params(key, cfg: OPTConfig) -> Dict:
+    keys = jax.random.split(key, 2 + cfg.num_hidden_layers)
+    H, F = cfg.hidden_size, cfg.ffn_dim
+    p = {
+        "embed": initializer(keys[0], (cfg.vocab_size, H)),
+        "embed_pos": initializer(
+            keys[1], (cfg.max_position_embeddings + _POS_OFFSET, H), scale=0.01
+        ),
+        "final_ln": {"g": jnp.ones((H,)), "b": jnp.zeros((H,))},
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[2 + i], 6)
+        p["layers"].append(
+            {
+                "self_attn_ln": {"g": jnp.ones((H,)), "b": jnp.zeros((H,))},
+                "final_ln": {"g": jnp.ones((H,)), "b": jnp.zeros((H,))},
+                "q_proj": {"w": initializer(ks[0], (H, H)), "b": jnp.zeros((H,))},
+                "k_proj": {"w": initializer(ks[1], (H, H)), "b": jnp.zeros((H,))},
+                "v_proj": {"w": initializer(ks[2], (H, H)), "b": jnp.zeros((H,))},
+                "out_proj": {"w": initializer(ks[3], (H, H)), "b": jnp.zeros((H,))},
+                "fc1": {"w": initializer(ks[4], (H, F)), "b": jnp.zeros((F,))},
+                "fc2": {"w": initializer(ks[5], (F, H)), "b": jnp.zeros((H,))},
+            }
+        )
+    if cfg.dtype != jnp.float32:
+        p = cast_floats(p, cfg.dtype)
+    return p
+
+
+def _attention(x, lp, cfg: OPTConfig, actq, mask_bias, cache, cache_index):
+    B, T, H = x.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def heads(t):
+        return t.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+
+    q = heads(dense(x, lp["q_proj"]["w"], lp["q_proj"]["b"], actq, "attn_q"))
+    k = heads(dense(x, lp["k_proj"]["w"], lp["k_proj"]["b"], actq, "attn_k"))
+    v = heads(dense(x, lp["v_proj"]["w"], lp["v_proj"]["b"], actq, "attn_v"))
+
+    new_cache = None
+    if cache is not None:
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(hd).astype(jnp.float32) + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, H)
+    return dense(out, lp["out_proj"]["w"], lp["out_proj"]["b"], actq, "attn_out"), new_cache
+
+
+def forward(
+    params,
+    cfg: OPTConfig,
+    tokens: jnp.ndarray,
+    actq: ActQuantizer = NULL_ACT_QUANT,
+    cache: Optional[List] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+):
+    B, T = tokens.shape
+    decode = cache is not None
+
+    if decode:
+        if positions is None:
+            positions = jnp.arange(T)[None, :] + cache_index
+        kv_len = cache[0][0].shape[2]
+        allowed = jnp.arange(kv_len)[None, :] <= (jnp.arange(T)[:, None] + cache_index)
+        if attn_mask is not None:
+            allowed = allowed[None] & attn_mask[:, None, :].astype(bool)
+        mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
+        if mask_bias.ndim == 3:
+            mask_bias = mask_bias[:, None, :, :]
+    else:
+        if positions is None:
+            positions = jnp.arange(T)[None, :]
+        allowed = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]
+        mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
+        if attn_mask is not None:
+            mask_bias = jnp.where(
+                attn_mask[:, None, None, :].astype(bool),
+                mask_bias[None, None],
+                jnp.finfo(jnp.float32).min,
+            )
+
+    x = actq("embed", params["embed"][tokens]) + actq(
+        "embed_pos", params["embed_pos"][positions + _POS_OFFSET]
+    )
+    x = x.astype(cfg.dtype)
+
+    new_cache = [] if decode else None
+    for i, lp in enumerate(params["layers"]):
+        h = layer_norm(x, lp["self_attn_ln"]["g"], lp["self_attn_ln"]["b"], cfg.layer_norm_eps)
+        attn_out, layer_cache = _attention(
+            h, lp, cfg, actq, mask_bias,
+            cache[i] if decode else None,
+            cache_index if decode else None,
+        )
+        x = x + attn_out
+        h = layer_norm(x, lp["final_ln"]["g"], lp["final_ln"]["b"], cfg.layer_norm_eps)
+        h = dense(h, lp["fc1"]["w"], lp["fc1"]["b"], actq, "mlp_fc1")
+        h = jax.nn.relu(h)
+        x = x + dense(h, lp["fc2"]["w"], lp["fc2"]["b"], actq, "mlp_fc2")
+        if decode:
+            new_cache.append(layer_cache)
+
+    x = layer_norm(x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps)
+    logits = jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
+    logits = actq("lm_head", logits)
+    return (logits, new_cache) if decode else logits
+
+
+def init_cache(cfg: OPTConfig, batch: int, max_len: int):
+    shape = (batch, cfg.num_attention_heads, max_len, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+        for _ in range(cfg.num_hidden_layers)
+    ]

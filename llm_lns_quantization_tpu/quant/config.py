@@ -1,0 +1,120 @@
+"""Typed, flag-driven quantization configuration + format registry.
+
+This replaces the reference's configuration mechanism — manually uncommenting
+one ``# PH: start``/``# PH: end`` block per experiment inside
+``HuggingFaceAutoLM.__init__`` (reference lm_eval/models/huggingface.py:273-1763,
+vestigial ``quant_format`` kwarg commented at :110, :268-272) — with a single
+dataclass selectable from the CLI (``--model_args quant=lns8,...``).
+"""
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, Dict, Optional
+
+import jax
+
+from . import formats
+
+# name -> fake-quant fn (Array -> Array). Names cover every reference block.
+FORMAT_REGISTRY: Dict[str, Callable] = {
+    "fp8": formats.fp8_e4m3,          # reference float8 active variant (E4M3)
+    "fp8_e4m3": formats.fp8_e4m3,
+    "fp8_e5m2": formats.fp8_e5m2,
+    "fp4": formats.fp4_e2m1,
+    "fp4_e2m1": formats.fp4_e2m1,
+    "lns8": formats.lns8,
+    "lns4": formats.lns4,
+    "lns8_dynamic": formats.lns8_dynamic,
+    "lns8_dynamic_pervec": formats.lns8_dynamic_pervec,
+    "lns4_dynamic": formats.lns4_dynamic,
+    "lns4_dynamic_pervec": formats.lns4_dynamic_pervec,
+    "zeroquant": formats.zeroquant,
+    "vsquant": formats.vsquant,
+    "w8a8": formats.w8a8,
+    "smoothquant": formats.smoothquant,
+    "llm_int8": formats.llm_int8,
+    "mx": formats.mx16_e5m2,          # reference MX active variant
+    "mx16_e5m2": formats.mx16_e5m2,
+    "mx32_e4m3": formats.mx32_e4m3,
+}
+
+
+def get_format(name: str) -> Callable:
+    try:
+        return FORMAT_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown quant format {name!r}; available: {sorted(FORMAT_REGISTRY)}"
+        ) from None
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """What to quantize and how.
+
+    ``weights``/``acts`` name a format from :data:`FORMAT_REGISTRY` (or None
+    to leave that path unquantized). The reference's experiments were either
+    activation-path (hooks on every leaf module) or weight-path (the dynamic
+    LNS4 per-vector block, huggingface.py:1726-1763); both compose here.
+
+    ``skip_weight_patterns`` reproduces the weight path's ``"norm" not in
+    name`` filter (huggingface.py:1741); embedding/norm params are skipped by
+    default. ``quantize_embedding_acts`` controls whether embedding outputs
+    count as activation-quant sites (the reference's hook walk covers
+    ``nn.Embedding`` leaves, so True matches it).
+    """
+
+    weights: Optional[str] = None
+    acts: Optional[str] = None
+    kv_cache: Optional[str] = None  # "int8" / "fp8" for the decode cache
+    skip_weight_patterns: tuple = ("norm", "ln_", "layernorm")
+    quantize_embedding_acts: bool = True
+    use_pallas: bool = False  # route matmuls through fused Pallas kernels
+
+    @property
+    def weight_fn(self):
+        return get_format(self.weights) if self.weights else None
+
+    @property
+    def act_fn(self):
+        return get_format(self.acts) if self.acts else None
+
+    def with_updates(self, **kw) -> "QuantConfig":
+        return replace(self, **kw)
+
+    @classmethod
+    def parse(cls, spec: Optional[str]) -> "QuantConfig":
+        """Parse CLI specs like ``"w:lns4_dynamic_pervec;a:fp8;kv:int8"``.
+
+        A bare format name quantizes activations only (matching how the
+        reference's hook blocks were used); ``w:``/``a:``/``kv:`` prefixes
+        select the path.
+        """
+        if not spec:
+            return cls()
+        weights = acts = kv = None
+        for part in spec.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            if part.startswith("w:"):
+                weights = part[2:]
+            elif part.startswith("a:"):
+                acts = part[2:]
+            elif part.startswith("kv:"):
+                kv = part[3:]
+            else:
+                acts = part
+        for name in (weights, acts):
+            if name is not None:
+                get_format(name)  # validate eagerly
+        return cls(weights=weights, acts=acts, kv_cache=kv)
+
+    def describe(self) -> str:
+        parts = []
+        if self.weights:
+            parts.append(f"w:{self.weights}")
+        if self.acts:
+            parts.append(f"a:{self.acts}")
+        if self.kv_cache:
+            parts.append(f"kv:{self.kv_cache}")
+        return ";".join(parts) or "none"

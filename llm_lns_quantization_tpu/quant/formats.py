@@ -1,0 +1,381 @@
+"""Pure-JAX fake-quantization library: the reference's full format zoo.
+
+Each function here re-implements, bit-faithfully, one of the quantization
+emulation blocks the reference keeps as comment-toggled PyTorch forward hooks
+inside ``HuggingFaceAutoLM.__init__`` (reference lm_eval/models/huggingface.py,
+``# PH: start``/``# PH: end`` blocks, lines 273-1763). They are pure,
+shape-polymorphic, ``jit``/``vmap``-able functions of a float32 array — the
+idiomatic JAX replacement for the reference's module-walk + forward-hook + STE
+``autograd.Function`` machinery.
+
+Reference block → function map (line numbers into the reference file):
+
+=====================================  ==========================================
+reference block (lines)                function here
+=====================================  ==========================================
+float8 E4M3/E5M2         (343-470)     ``fp_quant`` (with the block's up/2,
+                                       down*10 clamp tweak exposed as args)
+MX block floating point  (472-619)     ``mx_block_quant``
+LNS8                     (621-677)     ``lns_quant`` (man_bits=4, frac_bits=3)
+modified LNS8 (tiered)   (679-780)     ``dynamic_lns_quant`` (per-tensor max)
+modified LNS8 per-vector (862-946)     ``dynamic_lns_quant`` (axis=-2 max)
+ZeroQuant                (948-1006)    ``zeroquant``
+VSQuant                  (1008-1066)   ``vsquant``
+W8A8                     (1068-1123)   ``w8a8``
+SmoothQuant              (1125-1266)   ``smoothquant``
+LLM.int8() emulated      (1268-1336)   ``llm_int8``
+float4 E2M1              (1338-1428)   ``fp_quant`` (exp_bits=2, man_bits=1)
+LNS4                     (1430-1486)   ``lns_quant`` (man_bits=2, frac_bits=1)
+modified LNS4 base-4     (1488-1604)   ``dynamic_lns_quant`` (base=4, tensor max)
+modified LNS4 b4 per-vec (1606-1724)   ``dynamic_lns_quant`` (base=4, axis=-2)
+dynamic LNS4 weight path (1726-1763)   ``dynamic_lns_quant`` via quant.apply
+=====================================  ==========================================
+
+Faithfulness notes (validated against the reference formulas by
+tests/test_quant_parity.py, which re-executes the torch expressions):
+
+* All blocks clamp ``|x|`` into ``[threshold_down, threshold_up]`` *before*
+  quantizing and re-apply the sign with ``where(x < 0, -c, c)``; exact zeros
+  therefore become ``+threshold_down`` (and then quantize like it). We preserve
+  this — it is part of the reference's numerics.
+* ``round`` is round-half-to-even in both torch and jnp.
+* The reference branches on 2-D vs 3-D tensors; the axis conventions below are
+  the rank-generic generalization that reproduces both cases (documented per
+  function).
+
+Everything computes in float32 regardless of input dtype (the reference
+hooks ran in the model's fp32/fp16 compute dtype; fp32 is what its published
+experiments used) and casts back to the input dtype at the end.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _as_f32(x):
+    return x.astype(jnp.float32)
+
+
+def _signed_clamp(x: Array, down, up) -> Array:
+    """clamp(|x|, down, up) with sign restored; zeros map to +down."""
+    c = jnp.clip(jnp.abs(x), down, up)
+    return jnp.where(x < 0, -c, c)
+
+
+def _exp2(q: Array) -> Array:
+    """Accurate float32 ``2**q``.
+
+    ``jnp.exp2`` lowers to ``exp(q*ln2)`` whose f32 argument rounding costs
+    ~|q| ULP of relative error; splitting off the integer part and applying it
+    exactly via ``ldexp`` keeps us within ~1 ULP of torch's correctly-rounded
+    ``pow(2, q)``, which the parity tests require.
+    """
+    k = jnp.round(q)
+    return jnp.ldexp(jnp.exp2(q - k), k.astype(jnp.int32))
+
+
+def _restore_dtype(fn):
+    """Compute in float32, return in the caller's dtype."""
+
+    def wrapped(x, *args, **kwargs):
+        out = fn(_as_f32(x), *args, **kwargs)
+        return out.astype(x.dtype)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Custom floating point (FP8 / FP4)
+# ---------------------------------------------------------------------------
+
+
+@_restore_dtype
+def fp_quant(
+    x: Array,
+    exp_bits: int = 4,
+    man_bits: int = 3,
+    clamp_up_mul: float = 1.0,
+    clamp_down_mul: float = 1.0,
+) -> Array:
+    """Fake-quantize to a custom float format (sign / exp_bits / man_bits).
+
+    Reference: float8 block (huggingface.py:343-470; E4M3 active, E5M2 alt)
+    and float4 block (huggingface.py:1338-1428; E2M1). The float8 block
+    narrows its clamp range with ``threshold_up/2`` and ``threshold_down*10``
+    (huggingface.py:361-362) — pass ``clamp_up_mul=0.5, clamp_down_mul=10.0``
+    to reproduce that exact variant; the float4 block uses the plain range.
+
+    Recipe: clamp, ``e = floor(log2|x|)``, ``m = round((x/2^e - 1)*2^man_bits)``,
+    reconstruct ``(m/2^man_bits + 1) * 2^e``.
+    """
+    scale = float(2**man_bits)
+    threshold_clamp = 2 ** (exp_bits - 1)
+    up = float(2**threshold_clamp) * clamp_up_mul
+    down = float(2.0**-threshold_clamp) * clamp_down_mul
+
+    out = _signed_clamp(x, down, up)
+    exponent = jnp.ldexp(
+        jnp.float32(1.0), jnp.floor(jnp.log2(jnp.abs(out))).astype(jnp.int32)
+    )
+    mantissa_bits = jnp.round((out / exponent - 1.0) * scale)
+    return (mantissa_bits / scale + 1.0) * exponent
+
+
+fp8_e4m3 = partial(fp_quant, exp_bits=4, man_bits=3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+fp8_e5m2 = partial(fp_quant, exp_bits=5, man_bits=2)
+fp4_e2m1 = partial(fp_quant, exp_bits=2, man_bits=1)
+
+
+# ---------------------------------------------------------------------------
+# Logarithmic number system (LNS)
+# ---------------------------------------------------------------------------
+
+
+@_restore_dtype
+def lns_quant(x: Array, man_bits: int = 4, frac_bits: int = 3) -> Array:
+    """Plain LNS fake-quant: ``sign(x) * 2^(round(log2|x| * 2^f) / 2^f)``.
+
+    Reference: LNS8 block (huggingface.py:621-677; man_bits=4, frac_bits=3)
+    and LNS4 block (huggingface.py:1430-1486; man_bits=2, frac_bits=1).
+    ``man_bits`` bounds the exponent's integer range via the pre-clamp to
+    ``[2^-2^(m-1), 2^2^(m-1)]``.
+    """
+    scale = float(2**frac_bits)
+    threshold_clamp = 2 ** (man_bits - 1)
+    up = float(2**threshold_clamp)
+    down = float(2.0**-threshold_clamp)
+
+    out = _signed_clamp(x, down, up)
+    q = _exp2(jnp.round(jnp.log2(jnp.abs(out)) * scale) / scale)
+    return jnp.where(out > 0, q, jnp.where(out < 0, -q, out))
+
+
+lns8 = partial(lns_quant, man_bits=4, frac_bits=3)
+lns4 = partial(lns_quant, man_bits=2, frac_bits=1)
+
+
+@_restore_dtype
+def dynamic_lns_quant(
+    x: Array,
+    base: int = 2,
+    man_bits: int = 5,
+    frac_low: int = 2,
+    frac_high: int = 4,
+    frac_highest: int = 6,
+    cut_high: float = 3.0,
+    cut_low: float = 5.0,
+    axis=None,
+) -> Array:
+    """Outlier-tiered dynamic LNS: 3 precision tiers keyed off max(log|x|).
+
+    Log-magnitudes within ``cut_high`` of the max get ``frac_highest``
+    fractional bits, within ``cut_low`` get ``frac_high``, the rest
+    ``frac_low``. ``axis=None`` reproduces the per-tensor variants
+    (huggingface.py:679-780 LNS8, :1488-1604 base-4 LNS4); ``axis=-2``
+    reproduces the per-vector variants, whose per-column max is taken over
+    dim=1 for 3-D / dim=0 for 2-D tensors (huggingface.py:862-946 LNS8,
+    :1606-1724 base-4 LNS4, and the weight path :1726-1763).
+
+    Defaults are the reference's LNS8 constants (man_bits=5, f=2/4/6, base 2);
+    the base-4 LNS4 constants are man_bits=3, f=0/1/5, base 4 (where
+    ``log4 x = log2(x)/2`` and thresholds are ``4^±2^(m-1)``).
+
+    Zeros are clamped to ``+threshold_down`` before the log, so the
+    reference's ``-64000.0`` zero sentinel (e.g. huggingface.py:828) can never
+    fire post-clamp; we keep the same behavior.
+    """
+    log_base = jnp.log2(float(base))
+    threshold_mantissa = 2 ** (man_bits - 1)
+    up = float(base) ** threshold_mantissa
+    down = float(base) ** (-threshold_mantissa)
+    s_lo = float(base) ** frac_low
+    s_hi = float(base) ** frac_high
+    s_hst = float(base) ** frac_highest
+
+    out = _signed_clamp(x, down, up)
+    log_x = jnp.log2(jnp.abs(out)) / log_base
+    if axis is None:
+        max_val = jnp.max(log_x)
+    else:
+        max_val = jnp.max(log_x, axis=axis, keepdims=True)
+    q_lo = jnp.round(log_x * s_lo) / s_lo
+    q_hi = jnp.round(log_x * s_hi) / s_hi
+    q_hst = jnp.round(log_x * s_hst) / s_hst
+    q = jnp.where(
+        log_x > max_val - cut_low,
+        jnp.where(log_x > max_val - cut_high, q_hst, q_hi),
+        q_lo,
+    )
+    mag = _exp2(q * log_base)
+    return jnp.where(out < 0, -mag, jnp.where(out > 0, mag, out))
+
+
+lns8_dynamic = partial(dynamic_lns_quant, base=2, man_bits=5, frac_low=2, frac_high=4, frac_highest=6)
+lns8_dynamic_pervec = partial(
+    dynamic_lns_quant, base=2, man_bits=5, frac_low=2, frac_high=4, frac_highest=6, axis=-2
+)
+lns4_dynamic = partial(dynamic_lns_quant, base=4, man_bits=3, frac_low=0, frac_high=1, frac_highest=5)
+lns4_dynamic_pervec = partial(
+    dynamic_lns_quant, base=4, man_bits=3, frac_low=0, frac_high=1, frac_highest=5, axis=-2
+)
+
+
+# ---------------------------------------------------------------------------
+# Integer formats with power-of-two scales (ZeroQuant / VSQuant / W8A8 family)
+# ---------------------------------------------------------------------------
+
+
+def _pow2_int_quant(x: Array, max_values: Array, bits: int, clamp_frac: bool) -> Array:
+    """Shared core: power-of-2 scale from a max statistic, clamp, round.
+
+    ``num_frac = floor(log2((2^(bits-1)-1) / max))`` (optionally clamped to
+    ``[0, bits]``), ``scale = 2^num_frac``; the effective integer range also
+    bounds magnitudes via ``2^±2^(bits-num_frac-1)`` before rounding.
+    ``max_values`` must broadcast against ``x``.
+    """
+    int_max = float(2 ** (bits - 1) - 1)
+    num_frac = jnp.floor(jnp.log2(int_max / max_values))
+    if clamp_frac:
+        num_frac = jnp.clip(num_frac, 0.0, float(bits))
+    num_bit_mantissa = bits - num_frac
+    scale = _exp2(num_frac)
+    threshold_clamp = _exp2(num_bit_mantissa - 1.0)
+    up = _exp2(threshold_clamp)
+    down = _exp2(-threshold_clamp)
+    out = _signed_clamp(x, down, up)
+    return jnp.round(out * scale) / scale
+
+
+@_restore_dtype
+def zeroquant(x: Array, bits: int = 8, axis: int = 1) -> Array:
+    """ZeroQuant-style dynamic int8 with power-of-2 scale per slice.
+
+    Reference: huggingface.py:948-1006. The reference's scalar path always
+    reduces over ``dim=1`` — per-token rows for the 2-D ``[tokens, features]``
+    case (the ZeroQuant paper's granularity), and per-``[batch, feature]``
+    for 3-D inputs; we reproduce that literal axis. ``num_frac`` is clamped to
+    ``[0, bits]`` (huggingface.py:982, the ``#!!#`` revision).
+    """
+    max_values = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    return _pow2_int_quant(x, max_values, bits, clamp_frac=True)
+
+
+@_restore_dtype
+def vsquant(x: Array, bits: int = 8) -> Array:
+    """VSQuant-style per-column quant with an *integer* scale statistic.
+
+    Reference: huggingface.py:1008-1066. Per-column max over dim=1 (3-D) /
+    dim=0 (2-D) — i.e. axis=-2 — is itself rounded to an integer (zero maxes
+    replaced by 1 to avoid NaN), then the ZeroQuant power-of-2-scale recipe is
+    applied per column. The reference approximates the paper's block size with
+    the whole vector; ``quant.config`` exposes a true block size on top.
+    """
+    max_val_c = jnp.round(jnp.max(jnp.abs(x), axis=-2, keepdims=True))
+    max_val_c = jnp.where(max_val_c == 0, 1.0, max_val_c)
+    return _pow2_int_quant(x, max_val_c, bits, clamp_frac=True)
+
+
+@_restore_dtype
+def w8a8(x: Array, bits: int = 8) -> Array:
+    """Per-tensor dynamic int8 with power-of-2 scale.
+
+    Reference: huggingface.py:1068-1123 (scalar max; ``num_frac`` unclamped in
+    the reference's active path).
+    """
+    max_values = jnp.max(jnp.abs(x))
+    return _pow2_int_quant(x, max_values, bits, clamp_frac=False)
+
+
+@_restore_dtype
+def smoothquant(x: Array, bits: int = 8) -> Array:
+    """SmoothQuant-style: per-column smoothing, per-row ZeroQuant, rescale.
+
+    Reference: huggingface.py:1125-1266. Columns are normalized by their max
+    over dim=1 (3-D) / dim=0 (2-D) (zero maxes → 1), the result is
+    ZeroQuant-ed per row (max over the last axis, ``num_frac`` unclamped),
+    then the column scales are multiplied back.
+    """
+    max_val_c = jnp.max(jnp.abs(x), axis=-2, keepdims=True)
+    max_val_c = jnp.where(max_val_c == 0, 1.0, max_val_c)
+    out = x / max_val_c
+    max_values = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+    out = _pow2_int_quant(out, max_values, bits, clamp_frac=False)
+    return out * max_val_c
+
+
+@_restore_dtype
+def llm_int8(x: Array, bits: int = 8, threshold: float = 0.01) -> Array:
+    """LLM.int8()-style mixed precision: outlier columns stay full precision.
+
+    Reference: huggingface.py:1268-1336. Columns containing any ``|x| >
+    threshold`` (the block ships 0.01; the paper value is 6.0) are passed
+    through unquantized; the rest get per-row (dim=1 max, zero maxes →
+    0.0001, ``num_frac`` clamped) power-of-2-scale int quantization. Exact
+    zeros are restored to 0 (huggingface.py:1313 — unlike the other blocks,
+    the original tensor is still on hand here).
+    """
+    max_values = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    max_values = jnp.where(max_values == 0, 0.0001, max_values)
+    mask_high_precision = jnp.any(jnp.abs(x) > threshold, axis=0, keepdims=True)
+    q = _pow2_int_quant(x, max_values, bits, clamp_frac=True)
+    q = jnp.where(x == 0, 0.0, q)
+    return jnp.where(mask_high_precision, x, q)
+
+
+# ---------------------------------------------------------------------------
+# MX block floating point
+# ---------------------------------------------------------------------------
+
+
+@_restore_dtype
+def mx_block_quant(
+    x: Array, block_size: int = 16, exp_bits: int = 5, man_bits: int = 2
+) -> Array:
+    """MX-style shared-scale block floating point along the row axis.
+
+    Reference: huggingface.py:472-619. Rows (dim=1 for 3-D, dim=0 for 2-D —
+    i.e. axis=-2) are zero-padded to a multiple of ``block_size`` and grouped
+    into blocks; each block is scaled by ``threshold_up / round(max|block|)``
+    (zero maxes → 1), FP-quantized with (exp_bits, man_bits), and rescaled.
+    Active reference config: block 16, E5M2 ("microexponent"); the legacy
+    alternative is block 32, E4M3 (huggingface.py:474-480).
+    """
+    if x.ndim < 2:
+        raise ValueError("mx_block_quant expects rank >= 2")
+    scale = float(2**man_bits)
+    threshold_clamp = 2 ** (exp_bits - 1)
+    up = float(2**threshold_clamp)
+    down = float(2.0**-threshold_clamp)
+
+    *lead, rows, cols = x.shape
+    num_blocks = -(-rows // block_size)
+    pad = num_blocks * block_size - rows
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad), (0, 0)])
+    xb = xp.reshape(*lead, num_blocks, block_size, cols)
+
+    max_vals = jnp.round(jnp.max(jnp.abs(xb), axis=-2, keepdims=True))
+    max_vals = jnp.where(max_vals == 0, 1.0, max_vals)
+    coeff = up / max_vals
+
+    scaled = xb * coeff
+    out = _signed_clamp(scaled, down, up)
+    exponent = jnp.ldexp(
+        jnp.float32(1.0), jnp.floor(jnp.log2(jnp.abs(out))).astype(jnp.int32)
+    )
+    mantissa_bits = jnp.round((out / exponent - 1.0) * scale)
+    out = (mantissa_bits / scale + 1.0) * exponent
+    out = out / coeff
+
+    out = out.reshape(*lead, num_blocks * block_size, cols)
+    return out[..., :rows, :]
+
+
+mx16_e5m2 = partial(mx_block_quant, block_size=16, exp_bits=5, man_bits=2)
+mx32_e4m3 = partial(mx_block_quant, block_size=32, exp_bits=4, man_bits=3)

@@ -1,0 +1,57 @@
+"""SciQ crowdsourced science MCQ.
+
+Reference: lm_eval/tasks/sciq.py:29-84.
+"""
+
+from ..harness.task import MultipleChoiceTask
+
+
+class SciQ(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "sciq"
+    DATASET_NAME = None
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(map(self._process_doc, self.dataset["train"]))
+        return self._training_docs
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+        choices = [
+            doc["distractor1"],
+            doc["distractor2"],
+            doc["distractor3"],
+            doc["correct_answer"],
+        ]
+        return {
+            "source": doc["support"],
+            "query": doc["question"],
+            "choices": choices,
+            "gold": 3,
+        }
+
+    def doc_to_text(self, doc):
+        return "{}\nQuestion: {}\nAnswer:".format(doc["source"], doc["query"]).strip()
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["source"] + " " + doc["query"]

@@ -1,0 +1,32 @@
+"""Test config: force CPU JAX with an 8-device virtual mesh.
+
+This machine's axon site (PYTHONPATH sitecustomize) pre-imports jax with
+``JAX_PLATFORMS=axon,cpu`` before any user code runs, so env vars are too
+late — platform selection must go through ``jax.config.update`` before the
+first backend use. XLA_FLAGS is still read at backend-creation time, so the
+virtual device count can be set here. Multi-device sharding tests (the
+reference has none — SURVEY.md §4) run on this 8-device CPU mesh.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# keep the axon TPU tunnel free for bench runs; tests use the CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: first full run pays compiles, reruns are
+# fast (important: 2-vCPU machine, LLVM compiles dominate test wall-clock)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# XLA's DEFAULT matmul precision is reduced (bf16-class on TPU); decode-vs-
+# score and cross-shape consistency tests need true f32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")
