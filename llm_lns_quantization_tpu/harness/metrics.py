@@ -183,3 +183,39 @@ def stderr_for_metric(metric, bootstrap_iters):
 
 def yesno(x):
     return "yes" if x else "no"
+
+
+# --------------------------------------------------------------------------
+# SQuAD-style answer metrics (used by ReCoRD, SQuAD, TriviaQA, DROP)
+# --------------------------------------------------------------------------
+
+
+def _normalize_answer(s: str) -> str:
+    """Lowercase, strip punctuation/articles/extra whitespace (SQuAD rules)."""
+    import re
+    import string
+
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def squad_exact(a_gold: str, a_pred: str) -> int:
+    return int(_normalize_answer(a_gold) == _normalize_answer(a_pred))
+
+
+def squad_f1(a_gold: str, a_pred: str) -> float:
+    import collections
+
+    gold_toks = _normalize_answer(a_gold).split()
+    pred_toks = _normalize_answer(a_pred).split()
+    common = collections.Counter(gold_toks) & collections.Counter(pred_toks)
+    num_same = sum(common.values())
+    if len(gold_toks) == 0 or len(pred_toks) == 0:
+        return int(gold_toks == pred_toks)
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred_toks)
+    recall = num_same / len(gold_toks)
+    return 2 * precision * recall / (precision + recall)

@@ -1,28 +1,167 @@
 """Task registry: string name -> Task class.
 
 Equivalent of the reference's lm_eval/tasks/__init__.py:101-353 TASK_REGISTRY
-and :414-426 get_task_dict. Tier-1 tasks (the reference's own
-scripts/regression.py:21-26 regression set plus LAMBADA variants and SciQ)
-are in; further tiers land module by module.
+and :414-426 get_task_dict, using the same registry names so model/task
+selection strings are drop-in compatible.
 """
 
 from typing import Dict, List, Union
 
 from ..harness.task import Task
-from . import arc, hellaswag, lambada, openbookqa, piqa, sciq, superglue, winogrande, wikitext
+from . import (
+    anli,
+    arc,
+    arithmetic,
+    asdiv,
+    blimp,
+    cbt,
+    coqa,
+    crowspairs,
+    drop,
+    glue,
+    gsm8k,
+    headqa,
+    hellaswag,
+    hendrycks_ethics,
+    hendrycks_math,
+    hendrycks_test,
+    lambada,
+    lambada_cloze,
+    logiqa,
+    mathqa,
+    mc_taco,
+    mutual,
+    openbookqa,
+    pile,
+    piqa,
+    prost,
+    pubmedqa,
+    qa4mre,
+    race,
+    sat,
+    sciq,
+    squad,
+    storycloze,
+    superglue,
+    swag,
+    toxigen,
+    triviaqa,
+    truthfulqa,
+    unscramble,
+    webqs,
+    wikitext,
+    winogrande,
+    wsc273,
+)
 
 TASK_REGISTRY = {
-    "wikitext": wikitext.WikiText,
-    "lambada_standard": lambada.LambadaStandard,
+    # GLUE
+    "cola": glue.CoLA,
+    "mnli": glue.MNLI,
+    "mnli_mismatched": glue.MNLIMismatched,
+    "mrpc": glue.MRPC,
+    "rte": glue.RTE,
+    "qnli": glue.QNLI,
+    "qqp": glue.QQP,
+    "sst": glue.SST,
+    "wnli": glue.WNLI,
+    # SuperGLUE
+    "boolq": superglue.BoolQ,
+    "cb": superglue.CommitmentBank,
+    "copa": superglue.Copa,
+    "multirc": superglue.MultiRC,
+    "record": superglue.ReCoRD,
+    "wic": superglue.WordsInContext,
+    "wsc": superglue.SGWinogradSchemaChallenge,
+    # LAMBADA
     "lambada_openai": lambada.LambadaOpenAI,
-    "hellaswag": hellaswag.HellaSwag,
+    "lambada_standard": lambada.LambadaStandard,
+    "lambada_openai_cloze": lambada_cloze.LambadaOpenAICloze,
+    "lambada_standard_cloze": lambada_cloze.LambadaStandardCloze,
+    # perplexity
+    "wikitext": wikitext.WikiText,
+    # commonsense / MC
     "piqa": piqa.PiQA,
+    "sciq": sciq.SciQ,
+    "triviaqa": triviaqa.TriviaQA,
     "arc_easy": arc.ARCEasy,
     "arc_challenge": arc.ARCChallenge,
+    "hellaswag": hellaswag.HellaSwag,
+    "swag": swag.SWAG,
     "openbookqa": openbookqa.OpenBookQA,
+    "race": race.RACE,
+    "webqs": webqs.WebQs,
+    "wsc273": wsc273.WinogradSchemaChallenge273,
     "winogrande": winogrande.Winogrande,
-    "boolq": superglue.BoolQ,
-    "sciq": sciq.SciQ,
+    # NLI
+    "anli_r1": anli.ANLIRound1,
+    "anli_r2": anli.ANLIRound2,
+    "anli_r3": anli.ANLIRound3,
+    # truthfulness
+    "truthfulqa_mc": truthfulqa.TruthfulQAMultipleChoice,
+    "truthfulqa_gen": truthfulqa.TruthfulQAGeneration,
+    # math / reasoning
+    "gsm8k": gsm8k.GradeSchoolMath8K,
+    "arithmetic_2da": arithmetic.Arithmetic2DPlus,
+    "arithmetic_2ds": arithmetic.Arithmetic2DMinus,
+    "arithmetic_3da": arithmetic.Arithmetic3DPlus,
+    "arithmetic_3ds": arithmetic.Arithmetic3DMinus,
+    "arithmetic_4da": arithmetic.Arithmetic4DPlus,
+    "arithmetic_4ds": arithmetic.Arithmetic4DMinus,
+    "arithmetic_5da": arithmetic.Arithmetic5DPlus,
+    "arithmetic_5ds": arithmetic.Arithmetic5DMinus,
+    "arithmetic_2dm": arithmetic.Arithmetic2DMultiplication,
+    "arithmetic_1dc": arithmetic.Arithmetic1DComposite,
+    # reading comprehension / QA
+    "coqa": coqa.CoQA,
+    "drop": drop.DROP,
+    "squad2": squad.SQuAD2,
+    "logiqa": logiqa.LogiQA,
+    "mathqa": mathqa.MathQA,
+    "headqa": headqa.HeadQAEs,  # (deprecated alias kept for compat)
+    "headqa_es": headqa.HeadQAEs,
+    "headqa_en": headqa.HeadQAEn,
+    "pubmedqa": pubmedqa.Pubmed_QA,
+    "mc_taco": mc_taco.MCTACO,
+    "prost": prost.PROST,
+    "qa4mre_2011": qa4mre.QA4MRE_2011,
+    "qa4mre_2012": qa4mre.QA4MRE_2012,
+    "qa4mre_2013": qa4mre.QA4MRE_2013,
+    "mutual": mutual.MuTual,
+    "mutual_plus": mutual.MuTualPlus,
+    "sat": sat.SATAnalogies,
+    "cbt-cn": cbt.CBTCN,
+    "cbt-ne": cbt.CBTNE,
+    "storycloze_2016": storycloze.StoryCloze2016,
+    "storycloze_2018": storycloze.StoryCloze2018,
+    "toxigen": toxigen.ToxiGen,
+    # ethics
+    "ethics_cm": hendrycks_ethics.EthicsCM,
+    "ethics_deontology": hendrycks_ethics.EthicsDeontology,
+    "ethics_justice": hendrycks_ethics.EthicsJustice,
+    "ethics_utilitarianism_original": hendrycks_ethics.EthicsUtilitarianismOriginal,
+    "ethics_utilitarianism": hendrycks_ethics.EthicsUtilitarianism,
+    "ethics_virtue": hendrycks_ethics.EthicsVirtue,
+    # MATH
+    "math_algebra": hendrycks_math.MathAlgebra,
+    "math_counting_and_prob": hendrycks_math.MathCountingAndProbability,
+    "math_geometry": hendrycks_math.MathGeometry,
+    "math_intermediate_algebra": hendrycks_math.MathIntermediateAlgebra,
+    "math_num_theory": hendrycks_math.MathNumberTheory,
+    "math_prealgebra": hendrycks_math.MathPrealgebra,
+    "math_precalc": hendrycks_math.MathPrecalculus,
+    "math_asdiv": asdiv.Asdiv,
+    # unscramble
+    "anagrams1": unscramble.Anagrams1,
+    "anagrams2": unscramble.Anagrams2,
+    "cycle_letters": unscramble.CycleLetters,
+    "random_insertion": unscramble.RandomInsertion,
+    "reversed_words": unscramble.ReversedWords,
+    # dynamically generated families
+    **hendrycks_test.create_all_tasks(),   # hendrycksTest-* (57)
+    **blimp.create_all_tasks(),            # blimp_* (67)
+    **pile.create_all_tasks(),             # pile_* (22)
+    **crowspairs.create_all_tasks(),       # crows_pairs_* (22)
 }
 
 ALL_TASKS = sorted(TASK_REGISTRY)
@@ -32,7 +171,7 @@ def get_task(task_name: str):
     try:
         return TASK_REGISTRY[task_name]
     except KeyError:
-        raise KeyError(f"missing task {task_name!r}; available: {ALL_TASKS}") from None
+        raise KeyError(f"missing task {task_name!r}") from None
 
 
 def get_task_name_from_object(task_object):

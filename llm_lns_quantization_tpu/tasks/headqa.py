@@ -1,0 +1,58 @@
+"""HEAD-QA Spanish healthcare-exam MC (en/es variants).
+
+Parity: reference lm_eval/tasks/headqa.py.
+"""
+
+from ..harness.task import MultipleChoiceTask
+
+
+class HeadQABase(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "head_qa"
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(map(self._process_doc, self.dataset["train"]))
+        return self._training_docs
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+        return {
+            "id": doc["qid"],
+            "query": "Question: " + doc["qtext"] + "\nAnswer:",
+            "choices": [answer["atext"] for answer in doc["answers"]],
+            "gold": int(doc["ra"]) - 1,
+        }
+
+    def doc_to_text(self, doc):
+        return doc["query"]
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["query"]
+
+
+class HeadQAEn(HeadQABase):
+    DATASET_NAME = "en"
+
+
+class HeadQAEs(HeadQABase):
+    DATASET_NAME = "es"

@@ -1,0 +1,61 @@
+"""LogiQA logical reasoning MC. Parity: reference lm_eval/tasks/logiqa.py."""
+
+from ..harness.task import MultipleChoiceTask
+
+
+class LogiQA(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "lucasmccabe/logiqa"
+    DATASET_NAME = None
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(map(self._process_doc, self.dataset["train"]))
+        return self._training_docs
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+
+        def format_example(doc, choices):
+            prompt = "Passage: " + doc["context"] + "\n"
+            prompt += "Question: " + doc["question"] + "\nChoices:\n"
+            for choice, option in zip(choices, doc["options"]):
+                prompt += f"{choice.upper()}. {option}\n"
+            prompt += "Answer:"
+            return prompt
+
+        choices = ["a", "b", "c", "d"]
+        gold = doc["label"]
+        if isinstance(gold, str):
+            gold = choices.index(gold)
+        return {
+            "passage": doc["context"],
+            "query": format_example(doc, choices),
+            "choices": doc["options"],
+            "gold": gold,
+        }
+
+    def doc_to_text(self, doc):
+        return doc["query"]
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["passage"]

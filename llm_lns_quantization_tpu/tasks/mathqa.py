@@ -1,0 +1,58 @@
+"""MathQA multiple-choice math word problems.
+
+Parity: reference lm_eval/tasks/mathqa.py (options parsed from the packed
+"a ) ... , b ) ..." string with the same regex).
+"""
+
+import re
+
+from ..harness.task import MultipleChoiceTask
+
+
+class MathQA(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "math_qa"
+    DATASET_NAME = None
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(map(self._process_doc, self.dataset["train"]))
+        return self._training_docs
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+        answer_idx = ["a", "b", "c", "d", "e"].index(doc["correct"])
+        choices = [
+            c[4:].rstrip(" ,")
+            for c in re.findall(r"[abcd] \) .*?, |e \) .*?$", doc["options"])
+        ]
+        return {
+            "query": "Question: " + doc["Problem"] + "\nAnswer:",
+            "choices": choices,
+            "gold": answer_idx,
+        }
+
+    def doc_to_text(self, doc):
+        return doc["query"]
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["query"]

@@ -1,0 +1,48 @@
+"""PROST physical reasoning MC (zero-shot only).
+
+Parity: reference lm_eval/tasks/prost.py.
+"""
+
+from ..harness.task import MultipleChoiceTask
+
+
+class PROST(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "corypaik/prost"
+    DATASET_NAME = None
+
+    def has_training_docs(self):
+        return False
+
+    def has_validation_docs(self):
+        return False
+
+    def has_test_docs(self):
+        return True
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def fewshot_context(self, doc, num_fewshot, rnd=None, description=None):
+        assert num_fewshot == 0, "PROST is designed for zero-shot probing only."
+        return super().fewshot_context(
+            doc=doc, num_fewshot=num_fewshot, rnd=rnd, description=description
+        )
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+        return {
+            "query": f"{doc['context']}\nQuestion: {doc['ex_question']}\nAnswer:",
+            "choices": [doc["A"], doc["B"], doc["C"], doc["D"]],
+            "gold": doc["label"],
+        }
+
+    def doc_to_text(self, doc):
+        return doc["query"]
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["query"]

@@ -1,0 +1,51 @@
+"""SAT Analogies (requires manually-obtained data via data_dir).
+
+Parity: reference lm_eval/tasks/sat.py.
+"""
+
+from ..harness.task import MultipleChoiceTask
+
+
+class SATAnalogies(MultipleChoiceTask):
+    VERSION = 0
+    DATASET_PATH = "sat_analogies"
+    DATASET_NAME = None
+
+    def has_training_docs(self):
+        return False
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return False
+
+    def training_docs(self):
+        return []
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def test_docs(self):
+        return []
+
+    def _process_doc(self, doc):
+        if "query" in doc:
+            return doc
+        return {
+            "source": doc["source"],
+            "query": doc["stem"].split(" ")[:2],
+            "choices": [
+                "{} is to {}".format(*c.split(" ")[:2]) for c in doc["choices"]
+            ],
+            "gold": ["a", "b", "c", "d", "e"].index(doc["solution"].strip()),
+        }
+
+    def doc_to_text(self, doc):
+        return "{} is to {} as".format(*doc["query"])
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["source"] + "\n" + " ".join(doc["query"])

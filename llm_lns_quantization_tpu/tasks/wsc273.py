@@ -1,0 +1,103 @@
+"""Winograd Schema Challenge 273 with Trinh & Le partial evaluation.
+
+Parity target: reference lm_eval/tasks/wsc273.py (option normalization for
+possessives/capitalization, partial-context scoring).
+"""
+
+import numpy as np
+
+from ..harness.api import rf
+from ..harness.metrics import mean
+from ..harness.task import Task
+
+
+class WinogradSchemaChallenge273(Task):
+    VERSION = 0
+    DATASET_PATH = "winograd_wsc"
+    DATASET_NAME = "wsc273"
+
+    upper_pronouns = [
+        "A", "An", "The", "She", "He", "It", "They", "My", "His", "Her", "Their",
+    ]
+
+    def has_training_docs(self):
+        return False
+
+    def has_validation_docs(self):
+        return False
+
+    def has_test_docs(self):
+        return True
+
+    def test_docs(self):
+        return map(self._process_doc, self.dataset["test"])
+
+    def _process_doc(self, doc):
+        # the HF wsc273 text isn't partial-evaluation friendly as-is
+        doc["text"] = doc["text"].replace("  ", " ")
+        doc["options"][0] = self.__normalize_option(doc, doc["options"][0])
+        doc["options"][1] = self.__normalize_option(doc, doc["options"][1])
+        return doc
+
+    def __normalize_option(self, doc, option):
+        # append 's to possessive-determiner options
+        if doc["pronoun"].lower() in ["my", "his", "her", "our", "their"]:
+            option += "'s"
+        # lowercase the option's leading pronoun unless it starts a sentence
+        pronoun = option.split()[0]
+        start_of_sentence = doc["text"][doc["pronoun_loc"] - 2] == "."
+        if not start_of_sentence and pronoun in self.upper_pronouns:
+            return option.replace(pronoun, pronoun.lower())
+        return option
+
+    def fewshot_examples(self, k, rnd):
+        # test-set-only dataset: sample few-shot examples from test docs
+        if self._fewshot_docs is None:
+            self._fewshot_docs = list(self.test_docs())
+        return rnd.sample(list(self._fewshot_docs), k)
+
+    def doc_to_text(self, doc):
+        return self.partial_context(doc, doc["options"][doc["label"]])
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["text"]
+
+    @classmethod
+    def partial_context(cls, doc, option):
+        # substitute the pronoun with the option, drop everything after
+        return doc["text"][: doc["pronoun_loc"]] + option
+
+    def doc_to_target(self, doc):
+        return self.partial_target(doc)
+
+    @classmethod
+    def partial_target(cls, doc):
+        start_index = doc["pronoun_loc"] + len(doc["pronoun"])
+        return " " + doc["text"][start_index:].strip()
+
+    def construct_requests(self, doc, ctx):
+        target = self.partial_target(doc)
+        lls = []
+        for option in doc["options"]:
+            partial_ctx = self.partial_context(doc, option)
+            full_ctx = self.append_context(ctx, partial_ctx)
+            lls.append(rf.loglikelihood(full_ctx, target)[0])
+        return lls
+
+    @classmethod
+    def append_context(cls, ctx, partial_ctx):
+        ctx = ctx.split("\n\n")
+        ctx.pop()
+        return "\n\n".join([*ctx, partial_ctx]) if ctx else partial_ctx
+
+    def process_results(self, doc, results):
+        return {"acc": np.argmax(results) == doc["label"]}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+    def higher_is_better(self):
+        return {"acc": True}

@@ -40,6 +40,12 @@ def parse_args():
     )
     parser.add_argument("--no_cache", action="store_true")
     parser.add_argument(
+        "--bootstrap_iters",
+        type=int,
+        default=100000,
+        help="Iterations for bootstrap stderr estimates.",
+    )
+    parser.add_argument(
         "--quant",
         default=None,
         help=f"Quantization spec, e.g. 'w:lns8' or 'w:lns4_dynamic_pervec;a:fp8;kv:int8'. "
@@ -87,6 +93,7 @@ def main():
         device=args.device,
         no_cache=args.no_cache,
         limit=args.limit,
+        bootstrap_iters=args.bootstrap_iters,
         description_dict=description_dict,
         decontamination_ngrams_path=args.decontamination_ngrams_path,
         check_integrity=args.check_integrity,
