@@ -52,6 +52,44 @@ def _throughput(fn, params, tokens, targets, mask, iters=64):
     return B * T * iters / dt
 
 
+def _decode_fn(bundle, actq, batch, prompt_len, steps):
+    """Greedy KV-cache decode loop: the memory-bound serving regime where
+    packed (1-byte) weights halve HBM traffic vs bf16."""
+    cfg = bundle.cfg
+
+    def fn(params, prompt):
+        cache = bundle.init_cache(cfg, batch, prompt_len + steps)
+        logits, cache = bundle.forward(
+            params, cfg, prompt, actq, cache=cache, cache_index=0
+        )
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        def step(carry, i):
+            cache, tok = carry
+            lg, cache = bundle.forward(
+                params, cfg, tok[:, None], actq, cache=cache,
+                cache_index=prompt_len + i,
+            )
+            return (cache, jnp.argmax(lg[:, 0, :], axis=-1).astype(jnp.int32)), tok
+
+        (_, _), toks = jax.lax.scan(step, (cache, tok), jnp.arange(steps))
+        return toks
+
+    return jax.jit(fn)
+
+
+def _decode_throughput(fn, params, prompt, steps, iters=4):
+    out = fn(params, prompt)
+    jax.device_get(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, prompt)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+    B = prompt.shape[0]
+    return B * steps * iters / dt
+
+
 def main():
     # persistent compile cache: TPU compiles over the axon tunnel take
     # minutes; cache them so repeat bench runs start in seconds
@@ -78,14 +116,39 @@ def main():
     q_fn = _score_fn(qbundle, ActQuantizer(quant))
     q_tps = _throughput(q_fn, qbundle.params, tokens, targets, mask)
 
+    # LNS8 real-quant path: packed uint8 weights + Pallas dequant-fused matmul
+    pquant = QuantConfig(weights="lns8", use_pallas=True)
+    pbundle = build_model(
+        family="gpt2", preset="small", dtype=jnp.bfloat16, quant=pquant
+    )
+    p_fn = _score_fn(pbundle, ActQuantizer(pquant))
+    p_tps = _throughput(p_fn, pbundle.params, tokens, targets, mask)
+
+    # decode (serving) regime: batch 8, 64 steps after a 128-token prompt
+    DB, DP, DS = 8, 128, 64
+    prompt = jnp.asarray(rng.integers(0, 50000, (DB, DP)).astype(np.int32))
+    base_dec = _decode_throughput(
+        _decode_fn(base, ActQuantizer(QuantConfig()), DB, DP, DS),
+        base.params, prompt, DS,
+    )
+    p_dec = _decode_throughput(
+        _decode_fn(pbundle, ActQuantizer(pquant), DB, DP, DS),
+        pbundle.params, prompt, DS,
+    )
+
     print(
         json.dumps(
             {
-                "metric": "gpt2_124m_lns8_w+a_score_throughput",
-                "value": round(q_tps, 1),
+                "metric": "gpt2_124m_lns8_pallas_score_throughput",
+                "value": round(p_tps, 1),
                 "unit": "tokens/s/chip",
-                "vs_baseline": round(q_tps / base_tps, 4),
+                "vs_baseline": round(p_tps / base_tps, 4),
                 "baseline_bf16_tokens_per_s": round(base_tps, 1),
+                "fake_quant_w_a_tokens_per_s": round(q_tps, 1),
+                "fake_quant_vs_baseline": round(q_tps / base_tps, 4),
+                "decode_bf16_tokens_per_s": round(base_dec, 1),
+                "decode_pallas_lns8_tokens_per_s": round(p_dec, 1),
+                "decode_vs_baseline": round(p_dec / base_dec, 4),
                 "batch": B,
                 "seq": T,
                 "device": str(jax.devices()[0]),

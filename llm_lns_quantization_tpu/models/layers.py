@@ -28,11 +28,33 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
 
     The output site corresponds to the forward hook the reference installs on
     every Linear/Conv1D leaf module (huggingface.py:672-676).
+
+    ``w`` may be a plain array (bf16/f32 fake-quant tier) or a packed
+    quantized weight (ops.packing.LNSWeight / Int8Weight) — the latter routes
+    through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from ..ops.packing import Int8Weight, LNSWeight
+
+    if isinstance(w, (LNSWeight, Int8Weight)):
+        from ..ops import matmul as qmm
+
+        *lead, K = x.shape
+        x2 = x.reshape(-1, K)
+        if isinstance(w, LNSWeight):
+            y2 = qmm.lns_matmul(
+                x2.astype(jnp.bfloat16), w.codes, frac_bits=w.frac_bits,
+                out_dtype=x.dtype,
+            )
+        else:
+            y2 = qmm.int8_matmul(
+                x2.astype(jnp.bfloat16), w.codes, w.scale, out_dtype=x.dtype
+            )
+        y = y2.reshape(*lead, w.shape[1])
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
     if b is not None:
-        y = y + b
-    y = y.astype(x.dtype)
+        y = (y + b).astype(x.dtype)
     return actq(site, y)
 
 

@@ -1,0 +1,28 @@
+"""Pallas TPU kernels and quantized-storage formats (the real-quant tier)."""
+
+from .kv_cache import QuantKV, init_quant_cache, kv_dequantize, kv_quantize, kv_update
+from .matmul import int8_matmul, lns_matmul
+from .packing import (
+    Int8Weight,
+    LNSWeight,
+    pack_int8,
+    pack_lns,
+    unpack_int8,
+    unpack_lns,
+)
+
+__all__ = [
+    "QuantKV",
+    "init_quant_cache",
+    "kv_dequantize",
+    "kv_quantize",
+    "kv_update",
+    "int8_matmul",
+    "lns_matmul",
+    "Int8Weight",
+    "LNSWeight",
+    "pack_int8",
+    "pack_lns",
+    "unpack_int8",
+    "unpack_lns",
+]

@@ -1,0 +1,46 @@
+"""INT8 / FP8 KV-cache quantization ops.
+
+BASELINE.json configs #3/#5 call for an INT8 KV cache: keys/values are
+stored in the decode cache as int8 codes with per-(batch, head, position)
+scales, halving cache HBM footprint and bandwidth — the decode-time
+bottleneck at long contexts. Quantize on write, dequantize on read; both are
+cheap VPU element-wise ops that XLA fuses around the attention matmuls.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantKV(NamedTuple):
+    codes: jax.Array   # int8  [B, H, S, D]
+    scale: jax.Array   # f32   [B, H, S, 1]
+
+
+def kv_quantize(x: jax.Array) -> QuantKV:
+    """Per-position symmetric absmax int8 quantization of [B, H, S, D]."""
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    codes = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return QuantKV(codes=codes, scale=scale)
+
+
+def kv_dequantize(q: QuantKV, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.codes.astype(jnp.float32) * q.scale).astype(dtype)
+
+
+def kv_update(cache: QuantKV, new: jax.Array, index) -> QuantKV:
+    """Write new [B, H, T, D] positions into the quantized cache at index."""
+    q = kv_quantize(new)
+    codes = jax.lax.dynamic_update_slice(cache.codes, q.codes, (0, 0, index, 0))
+    scale = jax.lax.dynamic_update_slice(cache.scale, q.scale, (0, 0, index, 0))
+    return QuantKV(codes=codes, scale=scale)
+
+
+def init_quant_cache(batch: int, heads: int, max_len: int, head_dim: int) -> QuantKV:
+    return QuantKV(
+        codes=jnp.zeros((batch, heads, max_len, head_dim), jnp.int8),
+        scale=jnp.ones((batch, heads, max_len, 1), jnp.float32),
+    )

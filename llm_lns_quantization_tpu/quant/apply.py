@@ -47,18 +47,46 @@ def _is_skipped(path: str, patterns) -> bool:
     return any(p in low for p in patterns)
 
 
-def quantize_weights(params, config: QuantConfig):
-    """Fake-quantize every eligible leaf of a param pytree.
+# weight names eligible for packed (Pallas real-quant) storage: matmul
+# operands only — embeddings/lm_head stay fake-quantized (they're gathers /
+# shared weights, not K x N matmul weights)
+_PACKABLE = (
+    "c_attn_w", "c_proj_w", "c_fc_w",                      # gpt2
+    "q_proj", "k_proj", "v_proj", "o_proj",                # llama
+    "gate_proj", "up_proj", "down_proj",
+    "out_proj/w", "fc1/w", "fc2/w",                        # opt
+)
 
-    Mirrors the reference weight-quantization loop (huggingface.py:1740-1762):
-    every parameter whose path does not match a skip pattern (reference:
-    ``"norm" not in name``) and with rank >= 2 (the reference only rewrites
-    2-D/3-D params, leaving biases alone via its shape branch falling through)
-    is mapped through ``config.weight_fn``.
+# format name -> (frac_bits, man_bits) for LNS packing
+_LNS_PACK = {"lns8": (3, 4), "lns4": (1, 2)}
+_INT8_PACK = ("w8a8", "zeroquant", "vsquant", "int8", "llm_int8")
+
+
+def quantize_weights(params, config: QuantConfig):
+    """Quantize every eligible leaf of a param pytree.
+
+    Fake-quant tier (default): mirrors the reference weight-quantization loop
+    (huggingface.py:1740-1762) — every parameter whose path does not match a
+    skip pattern (reference: ``"norm" not in name``) and with rank >= 2 is
+    mapped through ``config.weight_fn``.
+
+    Real-quant tier (``config.use_pallas``): matmul weights are instead
+    packed into integer codes (ops.packing) consumed by the dequant-fused
+    Pallas kernels; non-matmul weights fall back to fake-quant.
     """
     fn = config.weight_fn
     if fn is None:
         return params
+
+    pack = None
+    if config.use_pallas:
+        from ..ops.packing import pack_int8, pack_lns
+
+        if config.weights in _LNS_PACK:
+            f, m = _LNS_PACK[config.weights]
+            pack = lambda w: pack_lns(w, frac_bits=f, man_bits=m)  # noqa: E731
+        elif config.weights in _INT8_PACK:
+            pack = pack_int8
 
     def leaf_fn(path, leaf):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
@@ -66,6 +94,8 @@ def quantize_weights(params, config: QuantConfig):
             return leaf
         if getattr(leaf, "ndim", 0) < 2:
             return leaf
+        if pack is not None and any(name.endswith(p) for p in _PACKABLE):
+            return pack(leaf)
         return fn(leaf)
 
     return jax.tree_util.tree_map_with_path(leaf_fn, params)

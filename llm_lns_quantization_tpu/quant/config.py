@@ -92,11 +92,14 @@ class QuantConfig:
         if not spec:
             return cls()
         weights = acts = kv = None
+        use_pallas = False
         for part in spec.split(";"):
             part = part.strip()
             if not part:
                 continue
-            if part.startswith("w:"):
+            if part == "pallas":
+                use_pallas = True
+            elif part.startswith("w:"):
                 weights = part[2:]
             elif part.startswith("a:"):
                 acts = part[2:]
@@ -107,7 +110,7 @@ class QuantConfig:
         for name in (weights, acts):
             if name is not None:
                 get_format(name)  # validate eagerly
-        return cls(weights=weights, acts=acts, kv_cache=kv)
+        return cls(weights=weights, acts=acts, kv_cache=kv, use_pallas=use_pallas)
 
     def describe(self) -> str:
         parts = []

@@ -13,6 +13,11 @@ from . import (
     arc,
     arithmetic,
     asdiv,
+    babi,
+    bigbench,
+    ceval,
+    cmmlu,
+    csatqa,
     blimp,
     cbt,
     coqa,
@@ -20,6 +25,7 @@ from . import (
     drop,
     glue,
     gsm8k,
+    haerae,
     headqa,
     hellaswag,
     hendrycks_ethics,
@@ -27,24 +33,32 @@ from . import (
     hendrycks_test,
     lambada,
     lambada_cloze,
+    lambada_multilingual,
     logiqa,
     mathqa,
     mc_taco,
     mutual,
+    naturalqs,
+    nqopen,
     openbookqa,
+    pawsx,
     pile,
     piqa,
     prost,
     pubmedqa,
     qa4mre,
+    qasper,
+    quac,
     race,
     sat,
     sciq,
+    scrolls,
     squad,
     storycloze,
     superglue,
     swag,
     toxigen,
+    translation,
     triviaqa,
     truthfulqa,
     unscramble,
@@ -52,7 +66,12 @@ from . import (
     wikitext,
     winogrande,
     wsc273,
+    xcopa,
+    xnli,
+    xstorycloze,
+    xwinograd,
 )
+from . import mgsm as mgsm_mod
 
 TASK_REGISTRY = {
     # GLUE
@@ -113,6 +132,11 @@ TASK_REGISTRY = {
     "arithmetic_2dm": arithmetic.Arithmetic2DMultiplication,
     "arithmetic_1dc": arithmetic.Arithmetic1DComposite,
     # reading comprehension / QA
+    "babi": babi.Babi,
+    "naturalqs": naturalqs.NaturalQs,
+    "nq_open": nqopen.NQOpen,
+    "qasper": qasper.QASPER,
+    "quac": quac.QuAC,
     "coqa": coqa.CoQA,
     "drop": drop.DROP,
     "squad2": squad.SQuAD2,
@@ -162,6 +186,22 @@ TASK_REGISTRY = {
     **blimp.create_all_tasks(),            # blimp_* (67)
     **pile.create_all_tasks(),             # pile_* (22)
     **crowspairs.create_all_tasks(),       # crows_pairs_* (22)
+    **xcopa.create_all_tasks(),            # xcopa_* (11)
+    **xnli.create_all_tasks(),             # xnli_* (15)
+    **xstorycloze.create_all_tasks(),      # xstory_cloze_* (11)
+    **xwinograd.create_all_tasks(),        # xwinograd_* (6)
+    **pawsx.create_all_tasks(),            # pawsx_* (7)
+    **mgsm_mod.create_all_tasks(),         # mgsm_* (11)
+    **lambada_multilingual.construct_tasks(),  # lambada_openai_mt_* (5)
+    **translation.create_tasks_from_benchmarks(
+        translation.SELECTED_TRANSLATION_BENCHMARKS
+    ),                                     # wmt*/iwslt17 pairs
+    **ceval.create_all_tasks(),            # Ceval-valid-* (52)
+    **cmmlu.create_all_tasks(),            # cmmlu-* (67)
+    **csatqa.create_all_tasks(),           # csatqa_* (6)
+    **haerae.create_all_tasks(),           # haerae_* (6)
+    **bigbench.create_all_tasks(),         # bigbench_* (19)
+    **scrolls.construct_tasks(),           # scrolls_* (7)
 }
 
 ALL_TASKS = sorted(TASK_REGISTRY)
@@ -172,6 +212,10 @@ def get_task(task_name: str):
         return TASK_REGISTRY[task_name]
     except KeyError:
         raise KeyError(f"missing task {task_name!r}") from None
+
+
+def _is_json_task(task_name: str) -> bool:
+    return task_name == "json" or task_name.startswith("json=")
 
 
 def get_task_name_from_object(task_object):
@@ -193,13 +237,18 @@ def get_task_dict(
     tasks load through HF datasets (reference behavior)."""
     import os
 
-    task_name_dict = {
-        task_name: get_task(task_name)(
+    task_name_dict = {}
+    for task_name in task_name_list:
+        if not isinstance(task_name, str):
+            continue
+        if _is_json_task(task_name):
+            from .json_task import create_task_from_argstring
+
+            task_name_dict[task_name] = create_task_from_argstring(task_name)
+            continue
+        task_name_dict[task_name] = get_task(task_name)(
             data_dir=os.path.join(data_dir, task_name) if data_dir else None
         )
-        for task_name in task_name_list
-        if isinstance(task_name, str)
-    }
     task_name_from_object_dict = {
         get_task_name_from_object(task_object): task_object
         for task_object in task_name_list

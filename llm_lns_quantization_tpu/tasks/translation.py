@@ -1,0 +1,158 @@
+"""Translation benchmarks (WMT14/16/20, IWSLT17) scored with BLEU/chrF/TER.
+
+Parity: reference lm_eval/tasks/translation.py, which sources test sets from
+sacrebleu's dataset registry. Offline runs use ``data_dir`` jsonl fixtures
+with {"src": ..., "ref": ...} docs; online runs use sacrebleu's downloader.
+zh/ja references are segmented with jieba/nagisa when installed (the
+reference gates the same way).
+"""
+
+from typing import List
+
+from ..harness import metrics
+from ..harness.api import rf
+from ..harness.task import Task
+
+# the reference's selected benchmark subsets (lm_eval/tasks/__init__.py and
+# translation.py's gpt3_translation_benchmarks + selected_translation_benchmarks)
+GPT3_TRANSLATION_BENCHMARKS = {
+    "wmt14": ["en-fr", "fr-en"],
+    "wmt16": ["en-ro", "ro-en", "de-en", "en-de"],
+}
+
+SELECTED_TRANSLATION_BENCHMARKS = {
+    **GPT3_TRANSLATION_BENCHMARKS,
+    "wmt20": ["en-de", "de-en", "en-ru", "ru-en", "en-zh", "zh-en", "en-ja",
+              "ja-en", "en-fr", "fr-en"],
+    "iwslt17": ["en-ar", "ar-en"],
+}
+
+_LANG_NAMES = {
+    "en": "English", "fr": "French", "de": "German", "ro": "Romanian",
+    "ru": "Russian", "zh": "Chinese", "ja": "Japanese", "ar": "Arabic",
+    "cs": "Czech", "fi": "Finnish", "es": "Spanish", "it": "Italian",
+    "nl": "Dutch", "ko": "Korean", "pl": "Polish", "lt": "Lithuanian",
+    "ta": "Tamil", "km": "Khmer", "ps": "Pashto", "iu": "Inuktitut",
+}
+
+
+def code_to_language(code: str) -> str:
+    return _LANG_NAMES.get(code, code)
+
+
+def zh_split(zh_text: List[str]) -> List[str]:
+    import jieba
+
+    return [" ".join(jieba.cut(txt.strip())) for txt in zh_text]
+
+
+def ja_split(ja_text: List[str]) -> List[str]:
+    import nagisa
+
+    return [" ".join(nagisa.tagging(txt.strip()).words) for txt in ja_text]
+
+
+NO_SPACE_LANG = {"zh": zh_split, "ja": ja_split}
+
+
+class GeneralTranslationTask(Task):
+    VERSION = 0
+
+    def __init__(self, sacrebleu_dataset, sacrebleu_language_pair=None, **kwargs):
+        self.sacrebleu_dataset = sacrebleu_dataset
+        self.sacrebleu_language_pair = sacrebleu_language_pair
+        self.src_data = self.ref_data = None
+        super().__init__(**kwargs)
+
+    def download(self, data_dir=None, cache_dir=None, download_mode=None):
+        if self._custom_docs is not None or (data_dir is not None):
+            super().download(data_dir, cache_dir, download_mode)
+            docs = None
+            if isinstance(getattr(self, "dataset", None), dict):
+                docs = self.dataset.get("test") or self.dataset.get("validation")
+            if docs:
+                self.src_data = [d["src"] for d in docs]
+                self.ref_data = [d["ref"] for d in docs]
+                return
+        from sacrebleu import sacrebleu
+
+        src_file, ref_file = sacrebleu.download_test_set(
+            self.sacrebleu_dataset, self.sacrebleu_language_pair
+        )
+        self.src_data, self.ref_data = [
+            [line.rstrip() for line in sacrebleu.smart_open(file)]
+            for file in (src_file, ref_file)
+        ]
+
+    def has_training_docs(self):
+        return False
+
+    def has_validation_docs(self):
+        return False
+
+    def has_test_docs(self):
+        return True
+
+    def test_docs(self):
+        return [
+            {"src": src, "ref": ref}
+            for src, ref in zip(self.src_data, self.ref_data)
+        ]
+
+    def doc_to_text(self, doc):
+        language_codes = self.sacrebleu_language_pair.split("-")
+        src_lang = code_to_language(language_codes[0])
+        tar_lang = code_to_language(language_codes[1])
+        return f"{src_lang} phrase: " + doc["src"] + f"\n{tar_lang} phrase:"
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["src"]
+
+    def doc_to_target(self, doc):
+        return " " + doc["ref"] if isinstance(doc["ref"], str) else doc["ref"][0]
+
+    def construct_requests(self, doc, ctx):
+        return rf.greedy_until(ctx, {"until": ["\n"]})
+
+    def process_results(self, doc, results):
+        tar_lang_code = self.sacrebleu_language_pair.split("-")[-1]
+        if tar_lang_code in NO_SPACE_LANG:
+            doc["ref"] = NO_SPACE_LANG[tar_lang_code]([doc["ref"]])[0]
+            results = NO_SPACE_LANG[tar_lang_code](results)
+        ref_pred = (doc["ref"], results)
+        return {"bleu": ref_pred, "chrf": ref_pred, "ter": ref_pred}
+
+    def aggregation(self):
+        return {"bleu": metrics.bleu, "chrf": metrics.chrf, "ter": metrics.ter}
+
+    def higher_is_better(self):
+        return {"bleu": True, "chrf": True, "ter": False}
+
+
+def create_translation_task(dataset, language_pair, version=0):
+    class TranslationTask(GeneralTranslationTask):
+        VERSION = version
+
+        def __init__(self, **kwargs):
+            super().__init__(dataset, language_pair, **kwargs)
+
+    TranslationTask.__name__ = f"Translation_{dataset}_{language_pair}"
+    return TranslationTask
+
+
+def create_tasks_from_benchmarks(benchmark_dict):
+    def version_of(dataset, language_pair):
+        if language_pair[-2:] in ["zh", "ja"]:
+            return 1  # jieba/nagisa segmentation
+        return 0
+
+    return {
+        f"{dataset}-{language_pair}": create_translation_task(
+            dataset, language_pair, version_of(dataset, language_pair)
+        )
+        for dataset, language_pairs in benchmark_dict.items()
+        for language_pair in language_pairs
+    }

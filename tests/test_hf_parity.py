@@ -1,0 +1,87 @@
+"""Architecture parity vs HuggingFace transformers (offline, tiny random models).
+
+The decisive correctness test for the model zoo: instantiate a tiny random
+HF model (no network needed), save_pretrained it, load the checkpoint through
+models/hf_loader.py, and compare logits within float32 tolerance. This is
+what guarantees WikiText perplexities computed by this framework are
+comparable to the reference's HF-based numbers.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llm_lns_quantization_tpu.models import build_model  # noqa: E402
+
+
+def _logits_close(ours, theirs, rtol=2e-4, atol=2e-4):
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32),
+        theirs.detach().float().numpy(),
+        rtol=rtol,
+        atol=atol,
+    )
+
+
+@pytest.fixture(scope="module")
+def token_batch():
+    rng = np.random.default_rng(0)
+    return rng.integers(1, 200, (2, 12)).astype(np.int32)
+
+
+def test_gpt2_matches_hf(tmp_path_factory, token_batch):
+    cfg = transformers.GPT2Config(
+        vocab_size=256, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+    path = tmp_path_factory.mktemp("gpt2")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="gpt2", checkpoint=str(path), dtype=jnp.float32)
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
+
+
+def test_llama_matches_hf(tmp_path_factory, token_batch):
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("llama")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="llama", checkpoint=str(path), dtype=jnp.float32)
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
+
+
+def test_opt_matches_hf(tmp_path_factory, token_batch):
+    cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64, dropout=0.0,
+        do_layer_norm_before=True, word_embed_proj_dim=32,
+    )
+    torch.manual_seed(2)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("opt")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="opt", checkpoint=str(path), dtype=jnp.float32)
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)

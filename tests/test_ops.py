@@ -1,0 +1,180 @@
+"""Pallas kernel tests (interpret mode on CPU) + packing round-trips.
+
+Validates the real-quant tier against the fake-quant reference functions —
+the dequant-fused kernels must reproduce exactly what the emulation computes
+(SURVEY.md §7 step 7: "validate each kernel against the step-2 reference
+functions, then swap in under a config flag").
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llm_lns_quantization_tpu.ops import (
+    init_quant_cache,
+    kv_dequantize,
+    kv_update,
+    pack_int8,
+    pack_lns,
+    unpack_int8,
+    unpack_lns,
+)
+from llm_lns_quantization_tpu.ops import matmul as qmm
+from llm_lns_quantization_tpu.quant import formats
+
+
+def rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def test_lns_pack_matches_fake_quant():
+    """pack->unpack lands on exactly the fake-quant grid (lns8)."""
+    w = rand((64, 48), seed=1, scale=2.0)
+    q = pack_lns(w, frac_bits=3, man_bits=4)
+    deq = np.asarray(unpack_lns(q, dtype=jnp.float32))
+    ref = np.asarray(formats.lns8(w))
+    np.testing.assert_allclose(deq, ref, rtol=4e-6, atol=0)
+
+
+def test_lns4_pack_roundtrip():
+    w = rand((32, 32), seed=2)
+    q = pack_lns(w, frac_bits=1, man_bits=2)
+    deq = np.asarray(unpack_lns(q, dtype=jnp.float32))
+    # every decoded value is on the lns4 grid: log2|v| * 2 is an integer
+    logs = np.log2(np.abs(deq)) * 2
+    np.testing.assert_allclose(logs, np.round(logs), atol=1e-5)
+
+
+def test_int8_pack_roundtrip():
+    w = rand((64, 32), seed=3, scale=3.0)
+    q = pack_int8(w)
+    deq = np.asarray(unpack_int8(q, dtype=jnp.float32))
+    err = np.abs(deq - w)
+    # max error is half a quantization step per column
+    step = np.asarray(q.scale)
+    assert np.all(err <= step * 0.5 + 1e-6)
+
+
+def _interpret(fn, *args, **kw):
+    """Run a pallas kernel in interpreter mode (CPU test machine)."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        # bypass the jit wrapper so the patch is seen
+        return fn.__wrapped__(*args, **kw)
+
+
+@pytest.mark.parametrize("shape", [(128, 256, 128), (64, 384, 256)])
+def test_lns_matmul_interpret(shape):
+    M, K, N = shape
+    x = jnp.asarray(rand((M, K), seed=4, scale=0.5), jnp.bfloat16)
+    w = rand((K, N), seed=5, scale=0.1)
+    q = pack_lns(w)
+    got = _interpret(
+        qmm.lns_matmul, x, q.codes, frac_bits=3,
+        block_m=64, block_n=128, out_dtype=jnp.float32,
+    )
+    want = jnp.dot(
+        x.astype(jnp.float32),
+        unpack_lns(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_int8_matmul_interpret():
+    M, K, N = 64, 256, 128
+    x = jnp.asarray(rand((M, K), seed=6, scale=0.5), jnp.bfloat16)
+    w = rand((K, N), seed=7, scale=0.3)
+    q = pack_int8(w)
+    got = _interpret(
+        qmm.int8_matmul, x, q.codes, q.scale,
+        block_m=64, block_n=128, out_dtype=jnp.float32,
+    )
+    want = jnp.dot(
+        x.astype(jnp.float32),
+        unpack_int8(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_kv_cache_quantized_roundtrip():
+    cache = init_quant_cache(batch=2, heads=4, max_len=16, head_dim=8)
+    new = jnp.asarray(rand((2, 4, 3, 8), seed=8, scale=2.0))
+    cache = kv_update(cache, new, index=5)
+    deq = np.asarray(kv_dequantize(cache, dtype=jnp.float32))
+    got = deq[:, :, 5:8]
+    err = np.abs(got - np.asarray(new))
+    scale = np.asarray(cache.scale[:, :, 5:8])
+    assert np.all(err <= scale * 0.51 + 1e-6)
+    # untouched positions remain zero
+    assert np.all(deq[:, :, :5] == 0)
+
+
+def test_pallas_weight_path_in_model_interpret():
+    """End-to-end: GPT-2 forward with packed LNS weights through the Pallas
+    kernels (interpret mode) matches the fake-quant forward closely."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
+
+    fake = build_model(
+        family="gpt2", preset="tiny", quant=QuantConfig(weights="lns8"),
+        dtype=jnp.float32,
+    )
+    ref_logits = fake.forward(fake.params, fake.cfg, tokens)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        real = build_model(
+            family="gpt2", preset="tiny",
+            quant=QuantConfig(weights="lns8", use_pallas=True), dtype=jnp.float32,
+        )
+        # packed-weight leaves exist
+        from llm_lns_quantization_tpu.ops.packing import LNSWeight
+
+        leaves = jax.tree_util.tree_leaves(
+            real.params, is_leaf=lambda x: isinstance(x, LNSWeight)
+        )
+        assert any(isinstance(l, LNSWeight) for l in leaves)
+        got = real.forward(real.params, real.cfg, tokens)
+
+    # same quantized weights, kernels accumulate in f32; bf16 x-cast inside
+    # the kernel is the only deviation
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_logits), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_quant_config_parse_pallas():
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    cfg = QuantConfig.parse("w:lns8;pallas")
+    assert cfg.weights == "lns8" and cfg.use_pallas
