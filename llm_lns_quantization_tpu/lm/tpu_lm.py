@@ -90,7 +90,13 @@ class TPULM(LM):
         self.tokenizer = build_tokenizer(tokenizer)
         self.actq = ActQuantizer(self.quant_config)
 
-        self._batch_size = int(batch_size) if str(batch_size) != "auto" else 8
+        # batch_size="auto" -> token-budget scheduling: batch is chosen per
+        # length bucket so batch*padded_len stays under a fixed token budget
+        # (the XLA-friendly replacement for the reference's OOM-halving
+        # find_executable_batch_size, base.py:176-196)
+        self._auto_batch = str(batch_size) == "auto"
+        self._batch_size = 8 if self._auto_batch else int(batch_size)
+        self._token_budget = (int(max_batch_size) if max_batch_size else 64) * 1024
         self._max_gen_toks = max_gen_toks
         self._max_length = int(max_length) if max_length else min(
             self.bundle.max_length, _DEFAULT_MAX_LENGTH
@@ -210,8 +216,28 @@ class TPULM(LM):
             return -len(toks), tuple(toks)
 
         re_ord = utils.Reorderer(requests, _collate)
+        reordered = re_ord.get_reordered()
 
-        for chunk in utils.chunks(re_ord.get_reordered(), self.batch_size):
+        if self._auto_batch and reordered:
+            # requests are sorted longest-first, so each chunk's FIRST element
+            # determines its padded length; size the chunk so
+            # batch * padded_len stays under the token budget
+            def _chunks_by_budget(items, length_of):
+                pos = 0
+                while pos < len(items):
+                    blen = _bucket_len(length_of(items[pos]))
+                    n = max(1, min(self._token_budget // blen, 128))
+                    yield items[pos : pos + n]
+                    pos += n
+
+            chunk_iter = _chunks_by_budget(
+                reordered,
+                lambda r: len((r[1] + r[2])[-(self.max_length + 1):]) - 1,
+            )
+        else:
+            chunk_iter = utils.chunks(reordered, self.batch_size)
+
+        for chunk in chunk_iter:
             rows_tokens, rows_targets, rows_mask = [], [], []
             max_len = 0
             metas = []
@@ -272,8 +298,10 @@ class TPULM(LM):
         actq = self.actq
         total = prompt_len + gen_len
 
+        kv_quant = self.quant_config.kv_cache is not None
+
         def decode(params, tokens, prompt_mask):
-            cache = self.bundle.init_cache(cfg, batch, total)
+            cache = self.bundle.init_cache(cfg, batch, total, kv_quant=kv_quant)
             full_mask = jnp.concatenate(
                 [prompt_mask, jnp.ones((batch, gen_len), prompt_mask.dtype)], axis=1
             )
@@ -320,8 +348,25 @@ class TPULM(LM):
             return -len(self.tok_encode(x[0])), x[0]
 
         re_ord = utils.Reorderer(requests, _collate)
+        reordered = re_ord.get_reordered()
 
-        for chunk in utils.chunks(re_ord.get_reordered(), self.batch_size):
+        if self._auto_batch and reordered:
+            def _chunks_by_budget(items, length_of):
+                pos = 0
+                while pos < len(items):
+                    blen = _bucket_len(length_of(items[pos]))
+                    n = max(1, min(self._token_budget // blen, 64))
+                    yield items[pos : pos + n]
+                    pos += n
+
+            chunk_iter = _chunks_by_budget(
+                reordered,
+                lambda r: len(self.tok_encode(r[0])) + self.max_gen_toks,
+            )
+        else:
+            chunk_iter = utils.chunks(reordered, self.batch_size)
+
+        for chunk in chunk_iter:
             contexts = [c for c, _ in chunk]
             args = [a for _, a in chunk]
             untils = []

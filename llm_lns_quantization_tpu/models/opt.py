@@ -112,10 +112,19 @@ def _attention(x, lp, cfg: OPTConfig, actq, mask_bias, cache, cache_index):
 
     new_cache = None
     if cache is not None:
+        from ..ops.kv_cache import QuantKV, kv_dequantize, kv_update
+
         ck, cv = cache
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
-        k, v = ck, cv
+        if isinstance(ck, QuantKV):
+            # INT8 KV cache: quantize on write, dequantize on read
+            ck = kv_update(ck, k, cache_index)
+            cv = kv_update(cv, v, cache_index)
+            k = kv_dequantize(ck, dtype=x.dtype)
+            v = kv_dequantize(cv, dtype=x.dtype)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+            k, v = ck, cv
         new_cache = (ck, cv)
 
     scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
@@ -188,7 +197,17 @@ def forward(
     return (logits, new_cache) if decode else logits
 
 
-def init_cache(cfg: OPTConfig, batch: int, max_len: int):
+def init_cache(cfg: OPTConfig, batch: int, max_len: int, kv_quant: bool = False):
+    if kv_quant:
+        from ..ops.kv_cache import init_quant_cache
+
+        return [
+            (
+                init_quant_cache(batch, cfg.num_attention_heads, max_len, cfg.head_dim),
+                init_quant_cache(batch, cfg.num_attention_heads, max_len, cfg.head_dim),
+            )
+            for _ in range(cfg.num_hidden_layers)
+        ]
     shape = (batch, cfg.num_attention_heads, max_len, cfg.head_dim)
     return [
         (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))

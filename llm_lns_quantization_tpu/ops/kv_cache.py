@@ -17,6 +17,10 @@ class QuantKV(NamedTuple):
     codes: jax.Array   # int8  [B, H, S, D]
     scale: jax.Array   # f32   [B, H, S, 1]
 
+    @property
+    def shape(self):
+        return self.codes.shape
+
 
 def kv_quantize(x: jax.Array) -> QuantKV:
     """Per-position symmetric absmax int8 quantization of [B, H, S, D]."""

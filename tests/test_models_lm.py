@@ -180,3 +180,18 @@ def test_quantized_lm_end_to_end():
     assert res[0][0] < 0
     assert lmq.quant_config.weights == "lns8"
     assert lmq.quant_config.acts == "w8a8"
+
+
+def test_auto_batch_token_budget():
+    """batch_size=auto schedules chunks by token budget, results unchanged."""
+    lm_fixed = TPULM(family="gpt2", preset="tiny", batch_size=4, dtype="float32")
+    lm_auto = TPULM(
+        family="gpt2", preset="tiny", batch_size="auto", max_batch_size=1,
+        dtype="float32",
+    )
+    reqs = [("word " * n, " tail") for n in (1, 5, 9, 2, 7)]
+    r_fixed = lm_fixed.loglikelihood(reqs)
+    r_auto = lm_auto.loglikelihood(reqs)
+    for (a, ga), (b, gb) in zip(r_fixed, r_auto):
+        assert abs(a - b) < 1e-3
+        assert ga == gb

@@ -178,3 +178,31 @@ def test_quant_config_parse_pallas():
 
     cfg = QuantConfig.parse("w:lns8;pallas")
     assert cfg.weights == "lns8" and cfg.use_pallas
+
+
+def test_int8_kv_cache_decode_close_to_fp():
+    """Model decode with quantized KV cache tracks the fp cache closely."""
+    from llm_lns_quantization_tpu.models import build_model
+
+    b = build_model(family="llama", preset="tiny", seed=0)
+    tokens = jnp.asarray(np.arange(10, dtype=np.int32).reshape(1, 10) % 250)
+
+    fp_cache = b.init_cache(b.cfg, 1, 12)
+    fp_logits, fp_cache = b.forward(
+        b.params, b.cfg, tokens, cache=fp_cache, cache_index=0
+    )
+
+    q_cache = b.init_cache(b.cfg, 1, 12, kv_quant=True)
+    q_logits, q_cache = b.forward(
+        b.params, b.cfg, tokens, cache=q_cache, cache_index=0
+    )
+    # quantization noise is small relative to logit scale
+    diff = np.abs(np.asarray(fp_logits) - np.asarray(q_logits))
+    assert diff.max() < 0.1, diff.max()
+
+    # decode one more token through the quantized cache
+    nxt = jnp.asarray([[7]], jnp.int32)
+    step_logits, _ = b.forward(
+        b.params, b.cfg, nxt, cache=q_cache, cache_index=10
+    )
+    assert np.all(np.isfinite(np.asarray(step_logits)))

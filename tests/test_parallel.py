@@ -102,3 +102,23 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[0].shape[0]
     ge.dryrun_multichip(8)
+
+
+@requires_multidevice
+def test_sharded_tpulm_matches_unsharded():
+    """TPULM with tensor/data-sharded params returns identical results."""
+    from llm_lns_quantization_tpu.lm.tpu_lm import TPULM
+
+    reqs = [("hello there", " world"), ("abc", " def"), ("x y z", " w")]
+    plain = TPULM(family="gpt2", preset="tiny", batch_size=4, dtype="float32")
+    r_plain = plain.loglikelihood(reqs)
+
+    mesh = make_mesh(shape=(2, 4))
+    sharded = TPULM(
+        family="gpt2", preset="tiny", batch_size=4, dtype="float32",
+        mesh=mesh, shard=True,
+    )
+    r_sharded = sharded.loglikelihood(reqs)
+    for (ll1, g1), (ll2, g2) in zip(r_plain, r_sharded):
+        assert abs(ll1 - ll2) < 1e-3
+        assert g1 == g2
