@@ -114,7 +114,7 @@ class TPULM(LM):
         self._score_jit = jax.jit(
             functools.partial(self._score_step, self.bundle.cfg)
         )
-        self._decode_jit = None  # built lazily per (batch, prompt_len, gen_len)
+        self._decode_cache = {}  # (batch, prompt_len, gen_len) -> jitted decode
 
     # ------------------------------------------------------------------
     # properties (reference BaseLM contract)
@@ -286,7 +286,9 @@ class TPULM(LM):
     # ------------------------------------------------------------------
 
     def _build_decode(self, batch: int, prompt_len: int, gen_len: int):
-        """Greedy KV-cache decode over left-padded prompts.
+        """Greedy KV-cache decode over left-padded prompts (memoized: a new
+        closure per call would defeat jax.jit's cache and recompile every
+        chunk).
 
         Left padding (same choice as the reference's generation path,
         huggingface.py:2085) keeps every prompt's last real token at a static
@@ -340,6 +342,12 @@ class TPULM(LM):
             return toks.T  # [B, gen_len]
 
         return jax.jit(decode)
+
+    def _get_decode(self, batch: int, prompt_len: int, gen_len: int):
+        key = (batch, prompt_len, gen_len)
+        if key not in self._decode_cache:
+            self._decode_cache[key] = self._build_decode(batch, prompt_len, gen_len)
+        return self._decode_cache[key]
 
     def greedy_until(self, requests) -> List[str]:
         res = []
@@ -396,7 +404,7 @@ class TPULM(LM):
                 toks[i, prompt_len - len(e):] = e  # left-padded
                 pmask[i, prompt_len - len(e):] = 1
 
-            decode = self._build_decode(B, prompt_len, max_gen)
+            decode = self._get_decode(B, prompt_len, max_gen)
             out = np.asarray(jax.device_get(decode(self._params, toks, pmask)))
 
             for i, (ctx, until) in enumerate(zip(contexts, untils)):

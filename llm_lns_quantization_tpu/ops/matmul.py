@@ -76,10 +76,16 @@ def lns_matmul(
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
     block_m = min(block_m, M)
-    # VMEM budget: x tile (2B) + codes (1B) + decoded (2B) + out (2B) < ~12MB
-    while block_n > 128 and K * block_n * 3 + block_m * K * 2 > 10 * 2**20:
-        block_n //= 2
     block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        # pallas double-buffers inputs and outputs; scratch is single
+        return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
+
+    while block_n > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+        block_n //= 2
+    while block_m > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+        block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     kernel = functools.partial(
@@ -142,9 +148,15 @@ def int8_matmul(
     K2, N = codes.shape
     assert K == K2
     block_m = min(block_m, M)
-    while block_n > 128 and K * block_n * 3 + block_m * K * 2 > 10 * 2**20:
-        block_n //= 2
     block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
+
+    while block_n > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+        block_n //= 2
+    while block_m > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+        block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     scale2d = scale.reshape(1, N).astype(jnp.float32)
