@@ -232,8 +232,11 @@ def evaluate(
 
     process_res_queue = collections.defaultdict(list)
 
+    from . import tracing
+
     for reqtype, reqs in requests.items():
-        resps = getattr(lm, reqtype)([req.args for req in reqs])
+        with tracing.maybe_phase(f"requests/{reqtype}"):
+            resps = getattr(lm, reqtype)([req.args for req in reqs])
         resps = [x if req.index is None else x[req.index] for x, req in zip(resps, reqs)]
         for resp, (i, task_name, doc, doc_id) in zip(resps, requests_origin[reqtype]):
             process_res_queue[(task_name, doc_id)].append((i, resp))

@@ -82,9 +82,9 @@ def lns_matmul(
         # pallas double-buffers inputs and outputs; scratch is single
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > 6 * 2**20:
         block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -153,9 +153,9 @@ def int8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > 6 * 2**20:
         block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 11 * 2**20:
+    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))

@@ -16,6 +16,7 @@ from .mesh import (
     param_partition_specs,
     shard_params,
 )
+from . import multihost
 from .train import make_train_step
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "param_partition_specs",
     "shard_params",
     "make_train_step",
+    "multihost",
 ]

@@ -61,6 +61,16 @@ def parse_args():
     parser.add_argument("--description_dict_path", default=None)
     parser.add_argument("--check_integrity", action="store_true")
     parser.add_argument("--write_out", action="store_true")
+    parser.add_argument(
+        "--trace",
+        default=None,
+        help="Write per-phase timing JSON to this path after the run.",
+    )
+    parser.add_argument(
+        "--jax_profile",
+        default=None,
+        help="Capture a jax.profiler device trace into this directory.",
+    )
     parser.add_argument("--output_base_path", type=str, default=None)
     return parser.parse_args()
 
@@ -83,25 +93,33 @@ def main():
         with open(args.description_dict_path, "r", encoding="utf-8") as f:
             description_dict = json.load(f)
 
-    results = evaluator.simple_evaluate(
-        model=args.model,
-        model_args=args.model_args,
-        tasks=task_names,
-        num_fewshot=args.num_fewshot,
-        batch_size=args.batch_size,
-        max_batch_size=args.max_batch_size,
-        device=args.device,
-        no_cache=args.no_cache,
-        limit=args.limit,
-        bootstrap_iters=args.bootstrap_iters,
-        description_dict=description_dict,
-        decontamination_ngrams_path=args.decontamination_ngrams_path,
-        check_integrity=args.check_integrity,
-        write_out=args.write_out,
-        output_base_path=args.output_base_path,
-        quant=args.quant,
-        data_dir=args.data_dir,
-    )
+    from llm_lns_quantization_tpu.harness import tracing
+
+    tracer = tracing.enable() if args.trace else None
+    with tracing.device_trace(args.jax_profile):
+        results = evaluator.simple_evaluate(
+            model=args.model,
+            model_args=args.model_args,
+            tasks=task_names,
+            num_fewshot=args.num_fewshot,
+            batch_size=args.batch_size,
+            max_batch_size=args.max_batch_size,
+            device=args.device,
+            no_cache=args.no_cache,
+            limit=args.limit,
+            bootstrap_iters=args.bootstrap_iters,
+            description_dict=description_dict,
+            decontamination_ngrams_path=args.decontamination_ngrams_path,
+            check_integrity=args.check_integrity,
+            write_out=args.write_out,
+            output_base_path=args.output_base_path,
+            quant=args.quant,
+            data_dir=args.data_dir,
+        )
+
+    if tracer is not None:
+        tracer.dump(args.trace)
+        print(f"trace written to {args.trace}")
 
     dumped = json.dumps(results, indent=2)
     print(dumped)

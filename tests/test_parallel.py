@@ -122,3 +122,19 @@ def test_sharded_tpulm_matches_unsharded():
     for (ll1, g1), (ll2, g2) in zip(r_plain, r_sharded):
         assert abs(ll1 - ll2) < 1e-3
         assert g1 == g2
+
+
+def test_multihost_sharding_single_process():
+    """Single-host degenerate behavior of the multi-host request plumbing."""
+    from llm_lns_quantization_tpu.parallel import multihost
+
+    reqs = list(range(10))
+    assert multihost.shard_requests(reqs, process_id=0, process_count=1) == reqs
+    # explicit 3-way partition + merge round-trips
+    parts = [multihost.shard_requests(reqs, i, 3) for i in range(3)]
+    merged = [None] * 10
+    for i, p in enumerate(parts):
+        merged[i::3] = p
+    assert merged == reqs
+    out = multihost.run_sharded(lambda rs: [r * 2 for r in rs], reqs)
+    assert out == [r * 2 for r in reqs]
