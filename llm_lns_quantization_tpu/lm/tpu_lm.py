@@ -68,6 +68,7 @@ class TPULM(LM):
         dtype: str = "bfloat16",
         device: Optional[str] = None,
         seed: int = 0,
+        peft: Optional[str] = None,
         mesh=None,
         shard: bool = False,
     ):
@@ -84,6 +85,7 @@ class TPULM(LM):
             dtype=jdtype,
             quant=self.quant_config,
             seed=seed,
+            peft=peft,
         )
         if tokenizer is None:
             tokenizer = pretrained if pretrained is not None else "byte"

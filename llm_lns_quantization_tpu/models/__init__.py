@@ -45,6 +45,7 @@ def build_model(
     quant: Optional[QuantConfig] = None,
     seed: int = 0,
     config_overrides: Optional[dict] = None,
+    peft: Optional[str] = None,
 ) -> ModelBundle:
     if family not in _FAMILIES:
         raise ValueError(f"unknown model family {family!r}; have {sorted(_FAMILIES)}")
@@ -62,6 +63,14 @@ def build_model(
     else:
         cfg = getattr(cfg_cls, preset)(**kw)
         params = mod.init_params(jax.random.PRNGKey(seed), cfg)
+
+    if peft is not None:
+        # merge the LoRA adapter BEFORE quantization — matching the
+        # reference's ordering (PEFT attach at huggingface.py:273-277, quant
+        # blocks after)
+        from .lora import merge_lora
+
+        params = merge_lora(params, family, peft)
 
     if quant is not None and quant.weights:
         params = quantize_weights(params, quant)

@@ -85,3 +85,39 @@ def test_opt_matches_hf(tmp_path_factory, token_batch):
     with torch.no_grad():
         theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs)
+
+
+def test_lora_merge_matches_peft_merged(tmp_path_factory, token_batch):
+    """Merging a PEFT LoRA adapter reproduces HF's merge_and_unload logits."""
+    peft = pytest.importorskip("peft")
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    base = transformers.LlamaForCausalLM(cfg).eval()
+    base_path = tmp_path_factory.mktemp("llama_base")
+    base.save_pretrained(base_path, safe_serialization=True)
+
+    lcfg = peft.LoraConfig(
+        r=4, lora_alpha=8, target_modules=["q_proj", "v_proj", "down_proj"],
+        lora_dropout=0.0, init_lora_weights=False,  # random (nonzero) B
+    )
+    lora_model = peft.get_peft_model(
+        transformers.LlamaForCausalLM.from_pretrained(base_path), lcfg
+    ).eval()
+    adapter_path = tmp_path_factory.mktemp("llama_adapter")
+    lora_model.save_pretrained(adapter_path)
+
+    merged = lora_model.merge_and_unload().eval()
+    with torch.no_grad():
+        theirs = merged(torch.tensor(token_batch, dtype=torch.long)).logits
+
+    bundle = build_model(
+        family="llama", checkpoint=str(base_path), dtype=jnp.float32,
+        peft=str(adapter_path),
+    )
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    _logits_close(ours, theirs, rtol=5e-4, atol=5e-4)
