@@ -304,7 +304,7 @@ class TPULM(LM):
 
         kv_quant = self.quant_config.kv_cache is not None
 
-        def decode(params, tokens, prompt_mask):
+        def decode(params, tokens, prompt_mask, stop_tokens):
             cache = self.bundle.init_cache(cfg, batch, total, kv_quant=kv_quant)
             full_mask = jnp.concatenate(
                 [prompt_mask, jnp.ones((batch, gen_len), prompt_mask.dtype)], axis=1
@@ -323,8 +323,20 @@ class TPULM(LM):
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             next_pos = positions[:, -1] + 1
 
-            def step(carry, i):
-                cache, tok, pos = carry
+            # while_loop with an early exit once every row has emitted a
+            # stop token (EOT or a single-token stop); multi-token stop
+            # strings are trimmed host-side afterwards. This is the static-
+            # shape replacement for model.generate's dynamic stopping.
+            out0 = jnp.zeros((batch, gen_len), jnp.int32)
+            done0 = jnp.zeros((batch,), bool)
+
+            def cond(state):
+                i, _, _, _, _, done = state
+                return jnp.logical_and(i < gen_len, ~jnp.all(done))
+
+            def body(state):
+                i, cache, tok, pos, out, done = state
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
                 step_logits, cache = forward(
                     params,
                     cfg,
@@ -336,17 +348,18 @@ class TPULM(LM):
                     positions=pos[:, None],
                 )
                 nxt = jnp.argmax(step_logits[:, 0, :], axis=-1).astype(jnp.int32)
-                return (cache, nxt, pos + 1), tok
+                done = jnp.logical_or(done, jnp.isin(tok, stop_tokens))
+                return (i + 1, cache, nxt, pos + 1, out, done)
 
-            (_, _, _), toks = jax.lax.scan(
-                step, (cache, next_tok, next_pos), jnp.arange(gen_len)
+            _, _, _, _, toks, _ = jax.lax.while_loop(
+                cond, body, (0, cache, next_tok, next_pos, out0, done0)
             )
-            return toks.T  # [B, gen_len]
+            return toks  # [B, gen_len]
 
         return jax.jit(decode)
 
-    def _get_decode(self, batch: int, prompt_len: int, gen_len: int):
-        key = (batch, prompt_len, gen_len)
+    def _get_decode(self, batch: int, prompt_len: int, gen_len: int, n_stop: int):
+        key = (batch, prompt_len, gen_len, n_stop)
         if key not in self._decode_cache:
             self._decode_cache[key] = self._build_decode(batch, prompt_len, gen_len)
         return self._decode_cache[key]
@@ -406,11 +419,32 @@ class TPULM(LM):
                 toks[i, prompt_len - len(e):] = e  # left-padded
                 pmask[i, prompt_len - len(e):] = 1
 
-            decode = self._get_decode(B, prompt_len, max_gen)
-            out = np.asarray(jax.device_get(decode(self._params, toks, pmask)))
+            # device-side early exit fires on tokens that terminate EVERY
+            # row: EOT plus single-token encodings of stops shared by all
+            # requests in the chunk; multi-token stops are trimmed below
+            shared = set(untils[0])
+            for u in untils[1:]:
+                shared &= set(u)
+            stop_ids = {self.eot_token_id}
+            for term in shared:
+                enc = self.tok_encode(term)
+                if len(enc) == 1:
+                    stop_ids.add(enc[0])
+            stop_arr = np.asarray(sorted(stop_ids), np.int32)
+
+            decode = self._get_decode(B, prompt_len, max_gen, len(stop_arr))
+            out = np.asarray(
+                jax.device_get(decode(self._params, toks, pmask, stop_arr))
+            )
 
             for i, (ctx, until) in enumerate(zip(contexts, untils)):
-                s = self.tok_decode(out[i])
+                row = out[i]
+                # cut at the first stop token (junk may follow once the row
+                # finished while others were still decoding)
+                hits = np.nonzero(np.isin(row, stop_arr))[0]
+                if hits.size:
+                    row = row[: hits[0]]
+                s = self.tok_decode(row)
                 for term in until:
                     s = s.split(term)[0]
                 self.cache_hook.add_partial("greedy_until", (ctx, until), s)
