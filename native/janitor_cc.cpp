@@ -47,11 +47,14 @@ std::vector<Gram> tokenize(const std::string &input, const bool ignore[256]) {
   size_t cur_end = 0;
   bool in_gram = false;
 
+  grams.reserve(input.size() / 6);  // ~avg word length heuristic
   auto flush = [&](size_t) {
     if (in_gram && !cur.empty()) {
-      grams.push_back({cur, cur_start, cur_end});
+      grams.push_back({std::move(cur), cur_start, cur_end});
+      cur = std::string();
+    } else {
+      cur.clear();
     }
-    cur.clear();
     in_gram = false;
   };
 
@@ -71,8 +74,8 @@ std::vector<Gram> tokenize(const std::string &input, const bool ignore[256]) {
     if ('A' <= c && c <= 'Z') c = c - 'A' + 'a';
     if (cur.size() >= 10) {
       // cap gram length at 10 chars: close this gram, start a new one here
-      grams.push_back({cur, cur_start, i - 1});
-      cur.clear();
+      grams.push_back({std::move(cur), cur_start, i - 1});
+      cur = std::string();
       cur_start = i;
     }
     cur += c;
@@ -129,35 +132,35 @@ PyObject *emit_ngrams(PyObject *args, bool with_indices) {
   grams = tokenize(a.input, ignore);
   Py_END_ALLOW_THREADS
 
-  PyObject *list = PyList_New(0);
+  const size_t n = static_cast<size_t>(a.n);
+  const Py_ssize_t count =
+      grams.size() >= n ? static_cast<Py_ssize_t>(grams.size() - n + 1) : 0;
+  PyObject *list = PyList_New(count);  // preallocated: no append churn
   if (!list) return nullptr;
 
-  const size_t n = static_cast<size_t>(a.n);
-  if (grams.size() >= n) {
-    std::string joined;
-    for (size_t i = 0; i + n <= grams.size(); i++) {
-      joined.clear();
-      for (size_t j = 0; j < n; j++) {
-        if (j) joined += ' ';
-        joined += grams[i + j].text;
-      }
-      PyObject *item = nullptr;
-      if (with_indices) {
-        item = Py_BuildValue("(s#nn)", joined.data(),
-                             static_cast<Py_ssize_t>(joined.size()),
-                             static_cast<Py_ssize_t>(grams[i].start),
-                             static_cast<Py_ssize_t>(grams[i + n - 1].end));
-      } else {
-        item = PyUnicode_FromStringAndSize(
-            joined.data(), static_cast<Py_ssize_t>(joined.size()));
-      }
-      if (!item || PyList_Append(list, item) < 0) {
-        Py_XDECREF(item);
-        Py_DECREF(list);
-        return nullptr;
-      }
-      Py_DECREF(item);
+  std::string joined;
+  joined.reserve(11 * n);
+  for (Py_ssize_t i = 0; i < count; i++) {
+    joined.clear();
+    for (size_t j = 0; j < n; j++) {
+      if (j) joined += ' ';
+      joined += grams[i + j].text;
     }
+    PyObject *item = nullptr;
+    if (with_indices) {
+      item = Py_BuildValue("(s#nn)", joined.data(),
+                           static_cast<Py_ssize_t>(joined.size()),
+                           static_cast<Py_ssize_t>(grams[i].start),
+                           static_cast<Py_ssize_t>(grams[i + n - 1].end));
+    } else {
+      item = PyUnicode_FromStringAndSize(
+          joined.data(), static_cast<Py_ssize_t>(joined.size()));
+    }
+    if (!item) {
+      Py_DECREF(list);
+      return nullptr;
+    }
+    PyList_SET_ITEM(list, i, item);  // steals the reference
   }
   return list;
 }
