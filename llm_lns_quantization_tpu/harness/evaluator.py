@@ -20,6 +20,46 @@ from .cache import CachingLM
 
 decontaminate_suffix = "_decontaminate"
 
+_HF_FAMILY = {"gpt2": "gpt2", "llama": "llama", "opt": "opt"}
+
+
+def _is_hf_model(model) -> bool:
+    try:
+        import transformers
+
+        return isinstance(model, transformers.PreTrainedModel)
+    except ImportError:
+        return False
+
+
+def _lm_from_hf_model(model, batch_size=None, quant=None):
+    """Export an in-memory HF model and load it through the TPU engine."""
+    import tempfile
+
+    from ..lm.tpu_lm import TPULM
+
+    model_type = getattr(model.config, "model_type", None)
+    family = _HF_FAMILY.get(model_type)
+    if family is None:
+        raise ValueError(
+            f"unsupported in-memory HF model type {model_type!r}; "
+            f"supported: {sorted(_HF_FAMILY)}"
+        )
+    tmp = tempfile.mkdtemp(prefix="hf_export_")
+    model.save_pretrained(tmp, safe_serialization=True)
+    tok = getattr(model.config, "_name_or_path", None) or "byte"
+    try:
+        return TPULM(
+            family=family, pretrained=tmp, tokenizer=tok,
+            batch_size=int(batch_size) if batch_size else 8, quant=quant,
+        )
+    except Exception:
+        # tokenizer not resolvable locally — fall back to the byte tokenizer
+        return TPULM(
+            family=family, pretrained=tmp, tokenizer="byte",
+            batch_size=int(batch_size) if batch_size else 8, quant=quant,
+        )
+
 
 def simple_evaluate(
     model,
@@ -73,6 +113,11 @@ def simple_evaluate(
         if quant is not None:
             extra["quant"] = quant
         lm = lm_registry.get_model(model).create_from_arg_string(model_args, extra)
+    elif _is_hf_model(model):
+        # in-memory HF model (reference evaluator.py:86-93): export it and
+        # load through the TPU engine (model_type -> family)
+        lm = _lm_from_hf_model(model, batch_size=batch_size, quant=quant)
+        no_cache = True
     else:
         assert isinstance(model, LM)
         lm = model

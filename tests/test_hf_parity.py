@@ -121,3 +121,32 @@ def test_lora_merge_matches_peft_merged(tmp_path_factory, token_batch):
     )
     ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
     _logits_close(ours, theirs, rtol=5e-4, atol=5e-4)
+
+
+def test_simple_evaluate_accepts_in_memory_hf_model(tmp_path):
+    """Reference API parity: simple_evaluate(model=<PreTrainedModel>)."""
+    import json as _json
+
+    from llm_lns_quantization_tpu.harness import simple_evaluate
+
+    cfg = transformers.GPT2Config(
+        vocab_size=256, n_positions=64, n_embd=32, n_layer=1, n_head=2,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(5)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+
+    data_dir = tmp_path / "piqa"
+    data_dir.mkdir()
+    docs = [
+        {"goal": "dry shoes", "sol1": "use newspaper", "sol2": "freeze them", "label": 0},
+        {"goal": "light candle", "sol1": "use match", "sol2": "use ice", "label": 0},
+    ]
+    (data_dir / "validation.json").write_text(_json.dumps(docs))
+
+    res = simple_evaluate(
+        model=model, tasks=["piqa"], data_dir=str(tmp_path),
+        bootstrap_iters=10, no_cache=True,
+    )
+    assert "piqa" in res["results"]
+    assert 0.0 <= res["results"]["piqa"]["acc"] <= 1.0
