@@ -302,7 +302,7 @@ class TPULM(LM):
         actq = self.actq
         total = prompt_len + gen_len
 
-        kv_quant = self.quant_config.kv_cache is not None
+        kv_quant = self.quant_config.kv_cache  # None | "int8" | "fp8"
 
         def decode(params, tokens, prompt_mask, stop_tokens):
             cache = self.bundle.init_cache(cfg, batch, total, kv_quant=kv_quant)

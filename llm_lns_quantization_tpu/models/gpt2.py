@@ -119,7 +119,14 @@ def _attention(
 
     new_cache = None
     if cache is not None:
-        from ..ops.kv_cache import QuantKV, kv_dequantize, kv_update
+        from ..ops.kv_cache import (
+            FP8KV,
+            QuantKV,
+            fp8_dequantize,
+            fp8_update,
+            kv_dequantize,
+            kv_update,
+        )
 
         ck, cv = cache
         if isinstance(ck, QuantKV):
@@ -128,6 +135,11 @@ def _attention(
             cv = kv_update(cv, v, cache_index)
             k = kv_dequantize(ck, dtype=x.dtype)
             v = kv_dequantize(cv, dtype=x.dtype)
+        elif isinstance(ck, FP8KV):
+            ck = fp8_update(ck, k, cache_index)
+            cv = fp8_update(cv, v, cache_index)
+            k = fp8_dequantize(ck, dtype=x.dtype)
+            v = fp8_dequantize(cv, dtype=x.dtype)
         else:
             ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
@@ -223,6 +235,16 @@ def forward(
 
 def init_cache(cfg: GPT2Config, batch: int, max_len: int, kv_quant: bool = False):
     """Pre-allocated decode cache: per-layer (k, v) of [B, H, S, D]."""
+    if kv_quant == "fp8":
+        from ..ops.kv_cache import init_fp8_cache
+
+        return [
+            (
+                init_fp8_cache(batch, cfg.n_head, max_len, cfg.head_dim),
+                init_fp8_cache(batch, cfg.n_head, max_len, cfg.head_dim),
+            )
+            for _ in range(cfg.n_layer)
+        ]
     if kv_quant:
         from ..ops.kv_cache import init_quant_cache
 

@@ -182,7 +182,14 @@ def _attention(x, lp, cfg: LlamaConfig, actq, mask_bias, cos, sin, cache, cache_
 
     new_cache = None
     if cache is not None:
-        from ..ops.kv_cache import QuantKV, kv_dequantize, kv_update
+        from ..ops.kv_cache import (
+            FP8KV,
+            QuantKV,
+            fp8_dequantize,
+            fp8_update,
+            kv_dequantize,
+            kv_update,
+        )
 
         ck, cv = cache
         if isinstance(ck, QuantKV):
@@ -191,6 +198,11 @@ def _attention(x, lp, cfg: LlamaConfig, actq, mask_bias, cos, sin, cache, cache_
             cv = kv_update(cv, v, cache_index)
             k = kv_dequantize(ck, dtype=x.dtype)
             v = kv_dequantize(cv, dtype=x.dtype)
+        elif isinstance(ck, FP8KV):
+            ck = fp8_update(ck, k, cache_index)
+            cv = fp8_update(cv, v, cache_index)
+            k = fp8_dequantize(ck, dtype=x.dtype)
+            v = fp8_dequantize(cv, dtype=x.dtype)
         else:
             ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
@@ -277,6 +289,16 @@ def forward(
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, kv_quant: bool = False):
+    if kv_quant == "fp8":
+        from ..ops.kv_cache import init_fp8_cache
+
+        return [
+            (
+                init_fp8_cache(batch, cfg.num_key_value_heads, max_len, cfg.head_dim),
+                init_fp8_cache(batch, cfg.num_key_value_heads, max_len, cfg.head_dim),
+            )
+            for _ in range(cfg.num_hidden_layers)
+        ]
     if kv_quant:
         from ..ops.kv_cache import init_quant_cache
 

@@ -48,3 +48,29 @@ def init_quant_cache(batch: int, heads: int, max_len: int, head_dim: int) -> Qua
         codes=jnp.zeros((batch, heads, max_len, head_dim), jnp.int8),
         scale=jnp.ones((batch, heads, max_len, 1), jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# FP8 cache (scale-free: e4m3 dynamic range covers post-norm K/V activations)
+# ---------------------------------------------------------------------------
+
+
+class FP8KV(NamedTuple):
+    codes: jax.Array   # float8_e4m3fn [B, H, S, D]
+
+    @property
+    def shape(self):
+        return self.codes.shape
+
+
+def fp8_update(cache: "FP8KV", new: jax.Array, index) -> "FP8KV":
+    q = new.astype(jnp.float8_e4m3fn)
+    return FP8KV(jax.lax.dynamic_update_slice(cache.codes, q, (0, 0, index, 0)))
+
+
+def fp8_dequantize(cache: "FP8KV", dtype=jnp.bfloat16) -> jax.Array:
+    return cache.codes.astype(dtype)
+
+
+def init_fp8_cache(batch: int, heads: int, max_len: int, head_dim: int) -> "FP8KV":
+    return FP8KV(jnp.zeros((batch, heads, max_len, head_dim), jnp.float8_e4m3fn))

@@ -206,3 +206,19 @@ def test_int8_kv_cache_decode_close_to_fp():
         b.params, b.cfg, nxt, cache=q_cache, cache_index=10
     )
     assert np.all(np.isfinite(np.asarray(step_logits)))
+
+
+def test_fp8_kv_cache_decode_close_to_fp():
+    from llm_lns_quantization_tpu.models import build_model
+
+    b = build_model(family="gpt2", preset="tiny", seed=0)
+    tokens = jnp.asarray(np.arange(10, dtype=np.int32).reshape(1, 10) % 250)
+    fp_cache = b.init_cache(b.cfg, 1, 12)
+    fp_logits, _ = b.forward(b.params, b.cfg, tokens, cache=fp_cache, cache_index=0)
+    q_cache = b.init_cache(b.cfg, 1, 12, kv_quant="fp8")
+    q_logits, q_cache = b.forward(b.params, b.cfg, tokens, cache=q_cache, cache_index=0)
+    diff = np.abs(np.asarray(fp_logits) - np.asarray(q_logits))
+    assert diff.max() < 0.2, diff.max()
+    step, _ = b.forward(b.params, b.cfg, jnp.asarray([[3]], jnp.int32),
+                        cache=q_cache, cache_index=10)
+    assert np.all(np.isfinite(np.asarray(step)))
