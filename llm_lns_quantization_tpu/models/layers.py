@@ -33,9 +33,9 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     quantized weight (ops.packing.LNSWeight / Int8Weight) — the latter routes
     through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
-    from ..ops.packing import Int8Weight, LNSWeight
+    from ..ops.packing import Int8Weight, LNS4Weight, LNSWeight
 
-    if isinstance(w, (LNSWeight, Int8Weight)):
+    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight)):
         from ..ops import matmul as qmm
 
         *lead, K = x.shape
@@ -44,6 +44,10 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
             y2 = qmm.lns_matmul(
                 x2.astype(jnp.bfloat16), w.codes, frac_bits=w.frac_bits,
                 out_dtype=x.dtype,
+            )
+        elif isinstance(w, LNS4Weight):
+            y2 = qmm.lns4_matmul(
+                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype
             )
         else:
             y2 = qmm.int8_matmul(

@@ -1,14 +1,17 @@
 """Pallas TPU kernels and quantized-storage formats (the real-quant tier)."""
 
 from .kv_cache import QuantKV, init_quant_cache, kv_dequantize, kv_quantize, kv_update
-from .matmul import int8_matmul, lns_matmul
+from .matmul import int8_matmul, lns4_matmul, lns_matmul
 from .packing import (
     Int8Weight,
+    LNS4Weight,
     LNSWeight,
     pack_int8,
     pack_lns,
+    pack_lns4,
     unpack_int8,
     unpack_lns,
+    unpack_lns4,
 )
 
 __all__ = [
@@ -18,11 +21,15 @@ __all__ = [
     "kv_quantize",
     "kv_update",
     "int8_matmul",
+    "lns4_matmul",
     "lns_matmul",
     "Int8Weight",
+    "LNS4Weight",
     "LNSWeight",
     "pack_int8",
     "pack_lns",
+    "pack_lns4",
     "unpack_int8",
     "unpack_lns",
+    "unpack_lns4",
 ]

@@ -31,6 +31,71 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+
+
+_K_RESIDENT_MAX = 6144  # beyond this, fall back to k-tiled kernels
+
+
+def _lns_decode(u, inv_scale):
+    k = (u & 0x7F) - 64
+    mag = jnp.exp2(k.astype(jnp.float32) * inv_scale)
+    return jnp.where((u & 0x80) != 0, -mag, mag).astype(jnp.bfloat16)
+
+
+def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, inv_scale, out_dtype):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _lns_decode(w_ref[...].astype(jnp.int32), inv_scale)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
+                       block_m=512, block_n=512, block_k=2048):
+    """Classic (i, j, k) tiling for K too large to keep VMEM-resident.
+
+    The weight tile is decoded per (i, k) step — an extra nm decodes of the
+    full weight vs the resident kernel, ~0.2% of the tile FLOPs each.
+    """
+    M, K = x.shape
+    _, N = codes.shape
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    block_k = min(block_k, K)
+
+    grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
+    kernel = functools.partial(
+        _lns_matmul_ktiled_kernel, inv_scale=inv_scale, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=K * N * _cdiv(M, block_m),
+        ),
+    )(x, codes)
+
+
 # ---------------------------------------------------------------------------
 # LNS dequant-fused matmul
 # ---------------------------------------------------------------------------
@@ -75,6 +140,11 @@ def lns_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    if K > _K_RESIDENT_MAX:
+        return _lns_matmul_ktiled(
+            x, codes, 1.0 / float(2**frac_bits), out_dtype,
+            block_m=block_m, block_n=block_n,
+        )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
 
@@ -147,6 +217,10 @@ def int8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2
+    if K > _K_RESIDENT_MAX:
+        return _int8_matmul_ktiled(
+            x, codes, scale, out_dtype, block_m=block_m, block_n=block_n
+        )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
 
@@ -174,6 +248,126 @@ def int8_matmul(
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scale2d)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit LNS matmul (nibble-packed weights: 4x less HBM than bf16)
+# ---------------------------------------------------------------------------
+
+
+def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, out_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        u = w_ref[...].astype(jnp.int32)          # [K, bn//2]
+        lo = u & 0xF
+        hi = (u >> 4) & 0xF
+        nib = jnp.stack([lo, hi], axis=-1).reshape(u.shape[0], -1)  # [K, bn]
+        k = (nib & 0x7) - 4
+        mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
+        wdec_ref[...] = jnp.where((nib & 0x8) != 0, -mag, mag).astype(jnp.bfloat16)
+
+    o_ref[...] = jnp.dot(
+        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
+def lns4_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """[M, K] @ nibble-packed 4-bit LNS [K, N] -> [M, N]."""
+    M, K = x.shape
+    K2, N_half = packed.shape
+    N = N_half * 2
+    assert K == K2
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        return 2 * (bm * K * 2) + 2 * (K * bn // 2) + K * bn * 2 + 2 * (bm * bn * 2)
+
+    while block_n > 256 and _vmem(block_m, block_n) > 6 * 2**20:
+        block_n //= 2
+    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+        block_m //= 2
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    kernel = functools.partial(_lns4_matmul_kernel, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
+            pl.BlockSpec((K, block_n // 2), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
+            transcendentals=K * N,
+        ),
+    )(x, packed)
+
+
+def _int8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(out_dtype)
+
+
+def _int8_matmul_ktiled(x, codes, scale, out_dtype,
+                        block_m=512, block_n=512, block_k=2048):
+    M, K = x.shape
+    _, N = codes.shape
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    block_k = min(block_k, K)
+    grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
+    scale2d = scale.reshape(1, N).astype(jnp.float32)
+    kernel = functools.partial(_int8_matmul_ktiled_kernel, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,

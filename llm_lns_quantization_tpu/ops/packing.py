@@ -111,3 +111,57 @@ def pack_int8(w: jax.Array) -> Int8Weight:
 
 def unpack_int8(q: Int8Weight, dtype=jnp.bfloat16) -> jax.Array:
     return (q.codes.astype(jnp.float32) * q.scale).astype(dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+class LNS4Weight:
+    """True 4-bit LNS weights: two codes per byte, packed along N.
+
+    Code nibble: bit 3 = sign, bits 0-2 = k + 4 where value = sign * 2^(k/2),
+    k in [-4, 3] — the genuine 4-bit LNS grid (1 sign + 2 int + 1 frac bit).
+    Note: the fake-quant emulation (quant.formats.lns4) admits k = +4 because
+    its clamp bound 2^2 is inclusive; the packed grid tops out at 2^1.5.
+    """
+
+    def __init__(self, packed):
+        self.packed = packed  # uint8 [K, N//2]
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.packed.shape[1] * 2)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten(self):
+        return (self.packed,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def pack_lns4(w: jax.Array) -> LNS4Weight:
+    """Quantize to the 4-bit LNS grid and pack two codes per byte along N."""
+    K, N = w.shape
+    assert N % 2 == 0, "N must be even for nibble packing"
+    w = w.astype(jnp.float32)
+    mag = jnp.clip(jnp.abs(w), 2.0**-2, 2.0**2)
+    k = jnp.clip(jnp.round(jnp.log2(mag) * 2.0), -4, 3).astype(jnp.int32)
+    sign = (w < 0).astype(jnp.int32)
+    nib = ((k + 4) | (sign << 3)).astype(jnp.uint8)  # [K, N] in [0, 15]
+    lo = nib[:, 0::2]
+    hi = nib[:, 1::2]
+    return LNS4Weight((lo | (hi << 4)).astype(jnp.uint8))
+
+
+def unpack_lns4(q: LNS4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    u = q.packed.astype(jnp.int32)
+    lo = u & 0xF
+    hi = (u >> 4) & 0xF
+    nib = jnp.stack([lo, hi], axis=-1).reshape(u.shape[0], -1)
+    k = (nib & 0x7) - 4
+    mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
+    val = jnp.where((nib & 0x8) != 0, -mag, mag)
+    return val.astype(dtype)

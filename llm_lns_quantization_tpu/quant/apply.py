@@ -82,7 +82,15 @@ def quantize_weights(params, config: QuantConfig):
     if config.use_pallas:
         from ..ops.packing import pack_int8, pack_lns
 
-        if config.weights in _LNS_PACK:
+        if config.weights == "lns4":
+            from ..ops.packing import pack_lns4
+
+            # true 4-bit nibble packing (falls back to byte codes if N is odd)
+            pack = lambda w: (  # noqa: E731
+                pack_lns4(w) if w.shape[1] % 2 == 0
+                else pack_lns(w, frac_bits=1, man_bits=2)
+            )
+        elif config.weights in _LNS_PACK:
             f, m = _LNS_PACK[config.weights]
             pack = lambda w: pack_lns(w, frac_bits=f, man_bits=m)  # noqa: E731
         elif config.weights in _INT8_PACK:

@@ -24,12 +24,25 @@ def sync(x):
     jax.device_get(jax.tree_util.tree_leaves(x)[0][0])
 
 
-def timeit(fn, *args, iters=32):
-    out = fn(*args)
+def timeit(fn, x, *wargs, iters=32):
+    """Time the kernel itself: loop inside one jit with a data dependency
+    between iterations (per-dispatch tunnel latency would otherwise dominate
+    and hide the kernel time)."""
+
+    def looped(x, *wargs):
+        def body(_, carry):
+            out = fn(carry, *wargs)
+            # fold a negligible slice of the output back into x to chain the
+            # iterations (prevents loop-invariant hoisting / DCE)
+            return carry + out[:, :1].astype(carry.dtype) * 1e-30
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    jitted = jax.jit(looped)
+    out = jitted(x, *wargs)
     sync(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = jitted(x, *wargs)
     sync(out)
     return (time.perf_counter() - t0) / iters
 

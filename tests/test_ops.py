@@ -222,3 +222,81 @@ def test_fp8_kv_cache_decode_close_to_fp():
     step, _ = b.forward(b.params, b.cfg, jnp.asarray([[3]], jnp.int32),
                         cache=q_cache, cache_index=10)
     assert np.all(np.isfinite(np.asarray(step)))
+
+
+def test_lns4_nibble_pack_roundtrip():
+    from llm_lns_quantization_tpu.ops import pack_lns4, unpack_lns4
+
+    w = rand((32, 64), seed=9, scale=1.5)
+    q = pack_lns4(jnp.asarray(w))
+    assert q.packed.shape == (32, 32)  # two codes per byte
+    deq = np.asarray(unpack_lns4(q, dtype=jnp.float32))
+    # every decoded magnitude is on the 4-bit grid 2^(k/2), k in [-4, 3]
+    logs = np.log2(np.abs(deq)) * 2
+    np.testing.assert_allclose(logs, np.round(logs), atol=1e-5)
+    assert logs.min() >= -4 - 1e-5 and logs.max() <= 3 + 1e-5
+
+
+def test_lns4_matmul_interpret():
+    from llm_lns_quantization_tpu.ops import pack_lns4, unpack_lns4
+
+    M, K, N = 64, 256, 128
+    x = jnp.asarray(rand((M, K), seed=10, scale=0.5), jnp.bfloat16)
+    w = rand((K, N), seed=11, scale=0.4)
+    q = pack_lns4(jnp.asarray(w))
+    got = _interpret(
+        qmm.lns4_matmul, x, q.packed, block_m=64, block_n=128,
+        out_dtype=jnp.float32,
+    )
+    want = jnp.dot(
+        x.astype(jnp.float32), unpack_lns4(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_lns4_pallas_model_path():
+    """w:lns4;pallas packs eligible weights as nibbles end-to-end."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import LNS4Weight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        b = build_model(
+            family="llama", preset="tiny", dtype=jnp.float32,
+            quant=QuantConfig(weights="lns4", use_pallas=True),
+        )
+        leaves = jax.tree_util.tree_leaves(
+            b.params, is_leaf=lambda x: isinstance(x, LNS4Weight)
+        )
+        assert any(isinstance(l, LNS4Weight) for l in leaves)
+        tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
+        out = b.forward(b.params, b.cfg, tokens)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_lns_matmul_large_k_ktiled_interpret():
+    """K beyond the residency threshold routes through the k-tiled kernel."""
+    M, K, N = 32, 8192, 128
+    x = jnp.asarray(rand((M, K), seed=12, scale=0.2), jnp.bfloat16)
+    w = rand((K, N), seed=13, scale=0.05)
+    q = pack_lns(w)
+    got = _interpret(
+        qmm.lns_matmul, x, q.codes, frac_bits=3, block_m=32, block_n=128,
+        out_dtype=jnp.float32,
+    )
+    want = jnp.dot(
+        x.astype(jnp.float32), unpack_lns(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
