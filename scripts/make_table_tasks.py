@@ -19,16 +19,15 @@ def main():
     parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
-    lines = ["| Task Name | Train | Val | Test | Metrics |", "|---|---|---|---|---|"]
+    lines = ["| Task Name | Version | Dataset |", "|---|---|---|"]
     for name in sorted(TASK_REGISTRY):
         cls = TASK_REGISTRY[name]
-        try:
-            # introspect without downloading any data
-            metrics = ""
-            agg = getattr(cls, "aggregation", None)
-            lines.append(f"| {name} | | | | {metrics} |")
-        except Exception:
-            lines.append(f"| {name} | ? | ? | ? | |")
+        version = getattr(cls, "VERSION", "")
+        dataset = getattr(cls, "DATASET_PATH", "") or ""
+        ds_name = getattr(cls, "DATASET_NAME", None)
+        if ds_name:
+            dataset = f"{dataset}/{ds_name}"
+        lines.append(f"| {name} | {version} | {dataset} |")
     table = "\n".join(lines)
     if args.output:
         with open(args.output, "w", encoding="utf-8") as f:
