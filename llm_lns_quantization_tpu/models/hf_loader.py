@@ -175,6 +175,11 @@ def _load_llama(cfg_json, tensors, dtype, overrides):
 def _load_opt(cfg_json, tensors, dtype, overrides):
     from .opt import OPTConfig
 
+    if cfg_json.get("word_embed_proj_dim", cfg_json["hidden_size"]) != cfg_json["hidden_size"]:
+        raise NotImplementedError(
+            "OPT checkpoints with word_embed_proj_dim != hidden_size (e.g. "
+            "opt-350m) use embedding projections this loader doesn't map yet"
+        )
     cfg = OPTConfig(
         vocab_size=cfg_json["vocab_size"],
         max_position_embeddings=cfg_json["max_position_embeddings"],
