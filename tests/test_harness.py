@@ -197,3 +197,34 @@ def test_metrics():
     xs = [rnd.random() for _ in range(500)]
     boot = metrics.bootstrap_stderr(metrics.mean, xs, iters=2000)
     assert abs(boot - metrics.mean_stderr(xs)) < 1e-2
+
+
+def test_tracer_phases():
+    from llm_lns_quantization_tpu.harness.tracing import Tracer
+
+    t = Tracer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    t.add("items", 5)
+    s = t.summary()
+    assert s["counts"]["a"] == 2 and s["counts"]["items"] == 5
+    assert s["phase_seconds"]["a"] >= 0
+
+
+def test_activation_stats_collector():
+    import jax.numpy as jnp
+
+    from llm_lns_quantization_tpu.harness.tracing import ActivationStats
+    from llm_lns_quantization_tpu.models import build_model
+
+    stats = ActivationStats()
+    b = build_model(family="gpt2", preset="tiny", seed=0)
+    tokens = jnp.asarray([[1, 2, 3, 4]])
+    b.forward(b.params, b.cfg, tokens, stats)
+    summary = stats.summary()
+    # one entry per quant site that fired
+    assert "attn_qkv" in summary and "lm_head" in summary
+    assert summary["attn_qkv"]["calls"] == b.cfg.n_layer
+    assert summary["lm_head"]["std"] > 0
