@@ -27,6 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    """Pallas TPU kernels only run compiled on TPU; on the CPU backend (unit
+    tests, virtual-device meshes) fall back to interpreter mode."""
+    return jax.default_backend() == "cpu"
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -77,6 +83,7 @@ def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
     )
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[
@@ -152,9 +159,9 @@ def lns_matmul(
         # pallas double-buffers inputs and outputs; scratch is single
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -165,6 +172,7 @@ def lns_matmul(
     )
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[
@@ -227,9 +235,9 @@ def int8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -237,6 +245,7 @@ def int8_matmul(
     kernel = functools.partial(_int8_matmul_kernel, out_dtype=out_dtype)
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[
@@ -262,15 +271,17 @@ def int8_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, out_dtype):
+def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, n_half_tiles, out_dtype):
+    j = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
-        u = w_ref[...].astype(jnp.int32)          # [K, bn//2]
-        lo = u & 0xF
-        hi = (u >> 4) & 0xF
-        nib = jnp.stack([lo, hi], axis=-1).reshape(u.shape[0], -1)  # [K, bn]
+        u = w_ref[...].astype(jnp.int32)  # [K, bn] packed bytes (halves layout)
+        # output tile j < n_half_tiles reads the low nibbles (columns [0, N/2));
+        # j >= n_half_tiles reads the high nibbles (columns [N/2, N)). One
+        # vector select — no lane interleave (Mosaic can't shape-cast one).
+        nib = jnp.where(j < n_half_tiles, u & 0xF, (u >> 4) & 0xF)
         k = (nib & 0x7) - 4
         mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
         wdec_ref[...] = jnp.where((nib & 0x8) != 0, -mag, mag).astype(jnp.bfloat16)
@@ -288,31 +299,50 @@ def lns4_matmul(
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """[M, K] @ nibble-packed 4-bit LNS [K, N] -> [M, N]."""
+    """[M, K] @ nibble-packed 4-bit LNS [K, N] -> [M, N].
+
+    ``packed`` uses the halves layout (ops.packing.LNS4Weight): the same
+    [K, block_n] byte tile feeds output tiles j and j + N/(2*block_n).
+    """
     M, K = x.shape
     K2, N_half = packed.shape
     N = N_half * 2
     assert K == K2
+    if N_half % 128 != 0 or K % 8 != 0:
+        # Small layers can't satisfy Mosaic's (8, 128) tile minimum once the
+        # N axis is halved — decode with XLA instead (these layers contribute
+        # negligible FLOPs; the kernel exists for the big projections).
+        from .packing import LNS4Weight, unpack_lns4
+
+        w = unpack_lns4(LNS4Weight(packed), dtype=jnp.bfloat16)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
     block_m = min(block_m, M)
-    block_n = min(block_n, N)
+    block_n = min(block_n, N_half)
 
     def _vmem(bm, bn):
-        return 2 * (bm * K * 2) + 2 * (K * bn // 2) + K * bn * 2 + 2 * (bm * bn * 2)
+        return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 256 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 6 * 2**20:
+    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
         block_m //= 2
+    # each packed tile must sit entirely in one half
+    while N_half % block_n:
+        block_n //= 2
 
-    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
-    kernel = functools.partial(_lns4_matmul_kernel, out_dtype=out_dtype)
+    n_half_tiles = N_half // block_n
+    grid = (2 * n_half_tiles, _cdiv(M, block_m))
+    kernel = functools.partial(
+        _lns4_matmul_kernel, n_half_tiles=n_half_tiles, out_dtype=out_dtype
+    )
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
-            pl.BlockSpec((K, block_n // 2), lambda j, i: (0, j)),
+            pl.BlockSpec((K, block_n), lambda j, i: (0, j % n_half_tiles)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -357,6 +387,7 @@ def _int8_matmul_ktiled(x, codes, scale, out_dtype,
     kernel = functools.partial(_int8_matmul_ktiled_kernel, out_dtype=out_dtype)
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
         in_specs=[

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 class LNSWeight:
     """Packed LNS weight: uint8 codes [K, N] + static frac_bits."""
 
@@ -38,15 +38,15 @@ class LNSWeight:
     def ndim(self):
         return self.codes.ndim
 
-    def tree_flatten(self):
-        return (self.codes,), self.frac_bits
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("codes"), self.codes),), self.frac_bits
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], aux)
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 class Int8Weight:
     """Packed int8 weight: codes [K, N] + per-column float32 scale [N]."""
 
@@ -62,8 +62,11 @@ class Int8Weight:
     def ndim(self):
         return self.codes.ndim
 
-    def tree_flatten(self):
-        return (self.codes, self.scale), None
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("codes"), self.codes),
+            (jax.tree_util.GetAttrKey("scale"), self.scale),
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -113,14 +116,20 @@ def unpack_int8(q: Int8Weight, dtype=jnp.bfloat16) -> jax.Array:
     return (q.codes.astype(jnp.float32) * q.scale).astype(dtype)
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 class LNS4Weight:
-    """True 4-bit LNS weights: two codes per byte, packed along N.
+    """True 4-bit LNS weights: two codes per byte, packed along N in halves.
 
     Code nibble: bit 3 = sign, bits 0-2 = k + 4 where value = sign * 2^(k/2),
     k in [-4, 3] — the genuine 4-bit LNS grid (1 sign + 2 int + 1 frac bit).
     Note: the fake-quant emulation (quant.formats.lns4) admits k = +4 because
     its clamp bound 2^2 is inclusive; the packed grid tops out at 2^1.5.
+
+    Byte layout: packed[k, j] holds column j in the LOW nibble and column
+    j + N/2 in the HIGH nibble. The halves layout (vs interleaved pairs) is
+    deliberate: the Pallas kernel decodes a whole [K, bn] tile by selecting
+    one nibble per grid column — Mosaic cannot lower the lane-interleaving
+    shape cast an even/odd pairing would need.
     """
 
     def __init__(self, packed):
@@ -134,8 +143,8 @@ class LNS4Weight:
     def ndim(self):
         return 2
 
-    def tree_flatten(self):
-        return (self.packed,), None
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("packed"), self.packed),), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -143,7 +152,8 @@ class LNS4Weight:
 
 
 def pack_lns4(w: jax.Array) -> LNS4Weight:
-    """Quantize to the 4-bit LNS grid and pack two codes per byte along N."""
+    """Quantize to the 4-bit LNS grid and pack two codes per byte (halves
+    layout along N: low nibble = column j, high nibble = column j + N/2)."""
     K, N = w.shape
     assert N % 2 == 0, "N must be even for nibble packing"
     w = w.astype(jnp.float32)
@@ -151,16 +161,14 @@ def pack_lns4(w: jax.Array) -> LNS4Weight:
     k = jnp.clip(jnp.round(jnp.log2(mag) * 2.0), -4, 3).astype(jnp.int32)
     sign = (w < 0).astype(jnp.int32)
     nib = ((k + 4) | (sign << 3)).astype(jnp.uint8)  # [K, N] in [0, 15]
-    lo = nib[:, 0::2]
-    hi = nib[:, 1::2]
+    lo = nib[:, : N // 2]
+    hi = nib[:, N // 2 :]
     return LNS4Weight((lo | (hi << 4)).astype(jnp.uint8))
 
 
 def unpack_lns4(q: LNS4Weight, dtype=jnp.bfloat16) -> jax.Array:
     u = q.packed.astype(jnp.int32)
-    lo = u & 0xF
-    hi = (u >> 4) & 0xF
-    nib = jnp.stack([lo, hi], axis=-1).reshape(u.shape[0], -1)
+    nib = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=1)
     k = (nib & 0x7) - 4
     mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
     val = jnp.where((nib & 0x8) != 0, -mag, mag)

@@ -77,7 +77,9 @@ _RULES = {
 
 
 def _path_str(path) -> str:
-    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))) for k in path
+    )
 
 
 def param_partition_specs(params, family: str, model_axis_size: int = 1):
@@ -90,8 +92,25 @@ def param_partition_specs(params, family: str, model_axis_size: int = 1):
 
     def spec_for(path, leaf):
         name = _path_str(path)
+        # Packed (Pallas-tier) weights are pytree wrappers whose leaves sit one
+        # key below the param name (q_proj/codes, q_proj/scale, q_proj/packed)
+        # — match the rule on the wrapper's path, then place the spec on the
+        # inner array (ops/packing.py LNSWeight / Int8Weight / LNS4Weight).
+        packed_kind = None
+        for kind in ("codes", "scale", "packed"):
+            if name.endswith("/" + kind):
+                packed_kind = kind
+                name = name[: -len(kind) - 1]
+                break
         for pat, spec in rules:
             if pat.search(name):
+                if packed_kind == "scale":
+                    # per-output-column scale [N]: shard iff the weight's
+                    # output dim (spec dim 1) is sharded
+                    d = tuple(spec)[1] if len(tuple(spec)) > 1 else None
+                    if d is not None and leaf.shape[0] % model_axis_size == 0:
+                        return P(d)
+                    return P()
                 dims = list(tuple(spec) + (None,) * (leaf.ndim - len(spec)))
                 dims = [
                     None

@@ -138,3 +138,34 @@ def test_multihost_sharding_single_process():
     assert merged == reqs
     out = multihost.run_sharded(lambda rs: [r * 2 for r in rs], reqs)
     assert out == [r * 2 for r in reqs]
+
+
+@requires_multidevice
+def test_sharded_packed_weights():
+    """Packed (Pallas real-quant) weights get model-axis shardings through
+    their pytree wrappers and the sharded forward matches single-device."""
+    from llm_lns_quantization_tpu.ops.packing import LNSWeight
+
+    mesh = make_mesh(shape=(2, 4))
+    bundle = build_model(
+        family="llama", preset="tiny", quant=QuantConfig.parse("w:lns8;pallas")
+    )
+    # wrapper leaves must pick up the rule matched on the wrapper's own path
+    specs = param_partition_specs(bundle.params, "llama", mesh.shape["model"])
+    q0 = bundle.params["layers"][0]["q_proj"]
+    assert isinstance(q0, LNSWeight)
+    assert tuple(specs["layers"][0]["q_proj"].codes) == (None, "model")
+    assert tuple(specs["layers"][0]["o_proj"].codes) == ("model", None)
+
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, 250, (4, 16)).astype(np.int32)
+    )
+    single = bundle.forward(bundle.params, bundle.cfg, tokens)
+    sharded_params = shard_params(bundle.params, bundle, mesh)
+    codes = sharded_params["layers"][0]["q_proj"].codes
+    assert not codes.sharding.is_fully_replicated
+    fwd = jax.jit(lambda p, t: bundle.forward(p, bundle.cfg, t))
+    sharded = fwd(sharded_params, jax.device_put(tokens, data_sharding(mesh)))
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
+    )
