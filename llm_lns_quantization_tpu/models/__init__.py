@@ -17,6 +17,7 @@ from ..quant.config import QuantConfig
 from . import gpt2 as gpt2_mod
 from . import llama as llama_mod
 from . import opt as opt_mod
+from . import t5 as t5_mod
 
 
 @dataclass
@@ -28,12 +29,14 @@ class ModelBundle:
     init_cache: Callable  # init_cache(cfg, batch, max_len)
     max_length: int
     quant_sites: tuple
+    is_seq2seq: bool = False  # T5-style: forward(params, cfg, enc_tokens, dec_tokens, ...)
 
 
 _FAMILIES = {
     "gpt2": (gpt2_mod, "GPT2Config"),
     "llama": (llama_mod, "LlamaConfig"),
     "opt": (opt_mod, "OPTConfig"),
+    "t5": (t5_mod, "T5Config"),
 }
 
 
@@ -75,7 +78,11 @@ def build_model(
     if quant is not None and quant.weights:
         params = quantize_weights(params, quant)
 
-    max_length = getattr(cfg, "n_positions", None) or getattr(cfg, "max_position_embeddings")
+    max_length = (
+        getattr(cfg, "n_positions", None)
+        or getattr(cfg, "max_position_embeddings", None)
+        or 512  # T5: relative positions, no hard cap; HF uses 512 for eval
+    )
     return ModelBundle(
         family=family,
         cfg=cfg,
@@ -84,6 +91,7 @@ def build_model(
         init_cache=mod.init_cache,
         max_length=max_length,
         quant_sites=mod.QUANT_SITES,
+        is_seq2seq=(family == "t5"),
     )
 
 

@@ -68,6 +68,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_llama(cfg_json, tensors, dtype, overrides)
     if family == "opt":
         return _load_opt(cfg_json, tensors, dtype, overrides)
+    if family == "t5":
+        return _load_t5(cfg_json, tensors, dtype, overrides)
     raise ValueError(f"no HF loader for family {family!r}")
 
 
@@ -225,4 +227,88 @@ def _load_opt(cfg_json, tensors, dtype, overrides):
                 "fc2": lin(pre + "fc2"),
             }
         )
+    return cfg, params
+
+
+def _load_t5(cfg_json, tensors, dtype, overrides):
+    from .t5 import T5Config
+
+    cfg = T5Config(
+        vocab_size=cfg_json["vocab_size"],
+        d_model=cfg_json["d_model"],
+        d_kv=cfg_json["d_kv"],
+        d_ff=cfg_json["d_ff"],
+        num_layers=cfg_json["num_layers"],
+        num_decoder_layers=cfg_json.get(
+            "num_decoder_layers", cfg_json["num_layers"]
+        ),
+        num_heads=cfg_json["num_heads"],
+        relative_attention_num_buckets=cfg_json.get(
+            "relative_attention_num_buckets", 32
+        ),
+        relative_attention_max_distance=cfg_json.get(
+            "relative_attention_max_distance", 128
+        ),
+        layer_norm_epsilon=cfg_json.get("layer_norm_epsilon", 1e-6),
+        feed_forward_proj=cfg_json.get("feed_forward_proj", "relu"),
+        tie_word_embeddings=cfg_json.get("tie_word_embeddings", True),
+        decoder_start_token_id=cfg_json.get("decoder_start_token_id", 0),
+        pad_token_id=cfg_json.get("pad_token_id", 0),
+        eos_token_id=cfg_json.get("eos_token_id", 1),
+        dtype=dtype,
+        **overrides,
+    )
+    t = tensors  # T5 names have no strippable prefix
+
+    def stack(side, n_layers, cross):
+        layers = []
+        for i in range(n_layers):
+            pre = f"{side}.block.{i}."
+            lp = {
+                "ln1": _j(t[pre + "layer.0.layer_norm.weight"], dtype),
+                "q": _j(t[pre + "layer.0.SelfAttention.q.weight"], dtype).T,
+                "k": _j(t[pre + "layer.0.SelfAttention.k.weight"], dtype).T,
+                "v": _j(t[pre + "layer.0.SelfAttention.v.weight"], dtype).T,
+                "o": _j(t[pre + "layer.0.SelfAttention.o.weight"], dtype).T,
+            }
+            ffn_idx = 2 if cross else 1
+            if cross:
+                lp["ln2"] = _j(t[pre + "layer.1.layer_norm.weight"], dtype)
+                lp["cq"] = _j(t[pre + "layer.1.EncDecAttention.q.weight"], dtype).T
+                lp["ck"] = _j(t[pre + "layer.1.EncDecAttention.k.weight"], dtype).T
+                lp["cv"] = _j(t[pre + "layer.1.EncDecAttention.v.weight"], dtype).T
+                lp["co"] = _j(t[pre + "layer.1.EncDecAttention.o.weight"], dtype).T
+                lp["ln3"] = _j(t[pre + f"layer.{ffn_idx}.layer_norm.weight"], dtype)
+            else:
+                lp["ln2"] = _j(t[pre + f"layer.{ffn_idx}.layer_norm.weight"], dtype)
+            ff = pre + f"layer.{ffn_idx}.DenseReluDense."
+            if cfg.is_gated:
+                lp["wi_0"] = _j(t[ff + "wi_0.weight"], dtype).T
+                lp["wi_1"] = _j(t[ff + "wi_1.weight"], dtype).T
+            else:
+                lp["wi"] = _j(t[ff + "wi.weight"], dtype).T
+            lp["wo"] = _j(t[ff + "wo.weight"], dtype).T
+            layers.append(lp)
+        return layers
+
+    # our decoder layers put cross-attn norm in ln2/ln3 order: HF layer.1 is
+    # the cross block whose layer_norm precedes it; HF decoder ordering is
+    # ln(layer.0) self / ln(layer.1) cross / ln(layer.2) ffn = ln1/ln2/ln3
+    params = {
+        "shared": _j(t["shared.weight"], dtype),
+        "enc_rel_bias": _j(
+            t["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+            dtype,
+        ),
+        "dec_rel_bias": _j(
+            t["decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+            dtype,
+        ),
+        "enc_final_norm": _j(t["encoder.final_layer_norm.weight"], dtype),
+        "dec_final_norm": _j(t["decoder.final_layer_norm.weight"], dtype),
+        "encoder": stack("encoder", cfg.num_layers, cross=False),
+        "decoder": stack("decoder", cfg.num_decoder_layers, cross=True),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _j(t["lm_head.weight"], dtype).T
     return cfg, params

@@ -150,3 +150,66 @@ def test_simple_evaluate_accepts_in_memory_hf_model(tmp_path):
     )
     assert "piqa" in res["results"]
     assert 0.0 <= res["results"]["piqa"]["acc"] <= 1.0
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_t5_matches_hf(tmp_path_factory, token_batch, gated):
+    """Both T5 v1.0 (relu, tied) and v1.1 (gated-gelu, untied) geometries."""
+    cfg = transformers.T5Config(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        tie_word_embeddings=not gated, decoder_start_token_id=0,
+    )
+    torch.manual_seed(3 + gated)
+    model = transformers.T5ForConditionalGeneration(cfg).eval()
+    path = tmp_path_factory.mktemp(f"t5_{gated}")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="t5", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.is_seq2seq
+    dec = np.concatenate(
+        [np.zeros((2, 1), np.int32), token_batch[:, :6]], axis=1
+    )
+    ours = bundle.forward(
+        bundle.params, bundle.cfg, jnp.asarray(token_batch), jnp.asarray(dec)
+    )
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(token_batch, dtype=torch.long),
+            decoder_input_ids=torch.tensor(dec, dtype=torch.long),
+        ).logits
+    _logits_close(ours, theirs, rtol=5e-4, atol=5e-4)
+
+
+def test_t5_encoder_padding_mask_matches_hf(tmp_path_factory, token_batch):
+    cfg = transformers.T5Config(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+        decoder_start_token_id=0,
+    )
+    torch.manual_seed(7)
+    model = transformers.T5ForConditionalGeneration(cfg).eval()
+    path = tmp_path_factory.mktemp("t5_mask")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="t5", checkpoint=str(path), dtype=jnp.float32)
+    mask = np.ones_like(token_batch)
+    mask[:, 8:] = 0  # pad out the tail
+    dec = np.concatenate(
+        [np.zeros((2, 1), np.int32), token_batch[:, :4]], axis=1
+    )
+    ours = bundle.forward(
+        bundle.params, bundle.cfg, jnp.asarray(token_batch), jnp.asarray(dec),
+        enc_attn_mask=jnp.asarray(mask),
+    )
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(token_batch, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            decoder_input_ids=torch.tensor(dec, dtype=torch.long),
+        ).logits
+    _logits_close(ours, theirs, rtol=5e-4, atol=5e-4)
