@@ -87,6 +87,10 @@ class TPULM(LM):
             seed=seed,
             peft=peft,
         )
+        if self.bundle.is_seq2seq and type(self) is TPULM:
+            raise ValueError(
+                f"family {family!r} is encoder-decoder; use model=tpu-seq2seq"
+            )
         if tokenizer is None:
             tokenizer = pretrained if pretrained is not None else "byte"
         self.tokenizer = build_tokenizer(tokenizer)

@@ -1,0 +1,171 @@
+"""T5 model semantics + TPUSeq2SeqLM engine tests (tiny model, CPU).
+
+Mirrors the decoder-only suite's invariants for the encoder-decoder path
+(reference AutoSeq2SeqLM, huggingface.py:2131-2291): decoder causality,
+cached-decode == full-forward, loglikelihood chain rule over decoder tokens,
+greedy generation determinism, and the evaluator wiring.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llm_lns_quantization_tpu.lm.tpu_seq2seq import TPUSeq2SeqLM
+from llm_lns_quantization_tpu.models import build_model
+from llm_lns_quantization_tpu.models import t5 as t5_mod
+from llm_lns_quantization_tpu.quant import QuantConfig
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return build_model(family="t5", preset="tiny", seed=0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return TPUSeq2SeqLM(family="t5", preset="tiny", dtype="float32",
+                        batch_size=4, seed=0)
+
+
+def test_forward_shapes(bundle):
+    enc = jnp.array([[1, 2, 3, 4, 5]], jnp.int32)
+    dec = jnp.array([[0, 7, 8]], jnp.int32)
+    logits = bundle.forward(bundle.params, bundle.cfg, enc, dec)
+    assert logits.shape == (1, 3, bundle.cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_decoder_is_causal_encoder_is_not(bundle):
+    enc = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    d1 = jnp.array([[0, 5, 6, 7]], jnp.int32)
+    d2 = jnp.array([[0, 5, 6, 99]], jnp.int32)
+    l1 = bundle.forward(bundle.params, bundle.cfg, enc, d1)
+    l2 = bundle.forward(bundle.params, bundle.cfg, enc, d2)
+    np.testing.assert_allclose(
+        np.asarray(l1[:, :3]), np.asarray(l2[:, :3]), rtol=2e-5, atol=2e-5
+    )
+    # encoder is bidirectional: changing ANY encoder token moves ALL decoder
+    # logits (cross-attention sees the full sequence)
+    e2 = jnp.array([[99, 2, 3, 4]], jnp.int32)
+    l3 = bundle.forward(bundle.params, bundle.cfg, e2, d1)
+    assert not np.allclose(np.asarray(l1[:, 0]), np.asarray(l3[:, 0]))
+
+
+def test_cached_decode_matches_full_forward(bundle):
+    enc = jnp.array([[1, 2, 3, 4, 5]], jnp.int32)
+    dec = jnp.array([[0, 7, 8, 9]], jnp.int32)
+    full = bundle.forward(bundle.params, bundle.cfg, enc, dec)
+
+    enc_hidden = t5_mod.encode(bundle.params, bundle.cfg, enc)
+    cache = t5_mod.init_cache(bundle.params, bundle.cfg, 1, 8, enc_hidden)
+    outs = []
+    for i in range(4):
+        logits, cache = t5_mod.decode(
+            bundle.params, bundle.cfg, dec[:, i : i + 1], enc_hidden,
+            cache=cache, cache_index=i,
+        )
+        outs.append(logits[:, 0])
+    step = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(step), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_quant_sites_fire(bundle):
+    from llm_lns_quantization_tpu.harness.tracing import ActivationStats
+
+    stats = ActivationStats()
+    enc = jnp.array([[1, 2, 3]], jnp.int32)
+    dec = jnp.array([[0, 7]], jnp.int32)
+    bundle.forward(bundle.params, bundle.cfg, enc, dec, stats)
+    s = stats.summary()
+    for site in ("embed", "rel_bias", "attn_q", "cross_out", "mlp_wi",
+                 "ln1", "final_norm", "lm_head"):
+        assert site in s, f"site {site} never fired"
+    # relu (v1.0) is in EXCLUDED_ACTIVATIONS: mlp_act must NOT fire
+    assert "mlp_act" not in s
+
+
+def test_gated_config_fires_mlp_act():
+    from llm_lns_quantization_tpu.harness.tracing import ActivationStats
+
+    b = build_model(family="t5", preset="tiny", seed=0,
+                    config_overrides={"feed_forward_proj": "gated-gelu",
+                                      "tie_word_embeddings": False})
+    stats = ActivationStats()
+    b.forward(b.params, b.cfg, jnp.array([[1, 2]], jnp.int32),
+              jnp.array([[0, 3]], jnp.int32), stats)
+    assert "mlp_act" in stats.summary()
+
+
+def test_loglikelihood_ordering(lm):
+    # repeating the context's own content should be likelier than noise
+    res = lm.loglikelihood([
+        ("the cat sat", " on the mat"),
+        ("the cat sat", " zqxj vvvv"),
+    ])
+    assert len(res) == 2
+    for ll, greedy in res:
+        assert isinstance(ll, float) and ll < 0
+        assert isinstance(greedy, bool)
+
+
+def test_loglikelihood_chain_rule(lm):
+    """P(ab|ctx) = P(a|ctx)·P(b|ctx+a) does NOT hold for seq2seq (the decoder
+    restarts per request) — instead check additivity within one decoder pass:
+    ll of a 2-token continuation == sum of per-token logprobs, via
+    consistency across repeated calls and batch sizes."""
+    r1 = lm.loglikelihood([("hello", " world")])[0][0]
+    r2 = lm.loglikelihood([("hello", " world"), ("a", " b"), ("xx", " yy")])[0][0]
+    assert r1 == pytest.approx(r2, abs=1e-4)
+
+
+def test_rolling_loglikelihood(lm):
+    res = lm.loglikelihood_rolling([("some text to score",)])
+    assert len(res) == 1 and res[0] < 0
+
+
+def test_greedy_until_deterministic(lm):
+    out1 = lm.greedy_until([("translate: hello", {"until": ["\n"]})])
+    out2 = lm.greedy_until([("translate: hello", {"until": ["\n"]})])
+    assert out1 == out2
+    assert isinstance(out1[0], str)
+
+
+def test_greedy_until_batch_invariance(lm):
+    single = lm.greedy_until([("abc def", {"until": ["\n"]})])
+    batch = lm.greedy_until([
+        ("abc def", {"until": ["\n"]}),
+        ("completely different and much longer context here", {"until": ["\n"]}),
+    ])
+    assert single[0] == batch[0]
+
+
+def test_quantized_seq2seq_runs():
+    lm = TPUSeq2SeqLM(family="t5", preset="tiny", dtype="float32",
+                      batch_size=2, quant="w:lns8;a:fp8")
+    res = lm.loglikelihood([("q", " a")])
+    assert res[0][0] < 0
+
+
+def test_tpu_lm_rejects_seq2seq_family():
+    from llm_lns_quantization_tpu.lm.tpu_lm import TPULM
+
+    with pytest.raises(ValueError, match="tpu-seq2seq"):
+        TPULM(family="t5", preset="tiny")
+
+
+def test_evaluator_with_seq2seq(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import fixture_task_dict
+
+    from llm_lns_quantization_tpu.harness import evaluate
+
+    lm = TPUSeq2SeqLM(family="t5", preset="tiny", dtype="float32", batch_size=4)
+    task_dict = fixture_task_dict(["piqa"])
+    out = evaluate(lm=lm, task_dict=task_dict, num_fewshot=0, limit=2,
+                   bootstrap_iters=2)
+    assert "piqa" in out["results"]
