@@ -63,6 +63,16 @@ _RULES = {
         (r"(gate|up)_proj$", P(None, AXIS_MODEL)),
         (r"down_proj$", P(AXIS_MODEL, None)),
     ],
+    "t5": [
+        (r"shared$", P(None, AXIS_MODEL)),
+        (r"lm_head$", P(None, AXIS_MODEL)),
+        (r"/[qkv]$", P(None, AXIS_MODEL)),
+        (r"/c[qkv]$", P(None, AXIS_MODEL)),
+        (r"/o$", P(AXIS_MODEL, None)),
+        (r"/co$", P(AXIS_MODEL, None)),
+        (r"wi(_[01])?$", P(None, AXIS_MODEL)),
+        (r"wo$", P(AXIS_MODEL, None)),
+    ],
     "opt": [
         (r"embed$", P(None, AXIS_MODEL)),
         (r"embed_pos$", P(None, AXIS_MODEL)),

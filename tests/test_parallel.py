@@ -169,3 +169,28 @@ def test_sharded_packed_weights():
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
     )
+
+
+@requires_multidevice
+def test_sharded_t5_forward_matches_single_device():
+    mesh = make_mesh(shape=(2, 4))
+    bundle = build_model(family="t5", preset="tiny", dtype=jnp.float32)
+    enc = jnp.asarray(
+        np.random.default_rng(2).integers(0, 250, (4, 12)).astype(np.int32)
+    )
+    dec = jnp.concatenate([jnp.zeros((4, 1), jnp.int32), enc[:, :5]], axis=1)
+    single = bundle.forward(bundle.params, bundle.cfg, enc, dec)
+    sharded_params = shard_params(bundle.params, bundle, mesh)
+    fwd = jax.jit(lambda p, e, d: bundle.forward(p, bundle.cfg, e, d))
+    sharded = fwd(
+        sharded_params,
+        jax.device_put(enc, data_sharding(mesh)),
+        jax.device_put(dec, data_sharding(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
+    )
+    specs = param_partition_specs(bundle.params, "t5", mesh.shape["model"])
+    assert tuple(specs["encoder"][0]["q"]) == (None, "model")
+    assert tuple(specs["decoder"][0]["co"]) == ("model", None)
+    assert tuple(specs["encoder"][0]["wi"]) == (None, "model")
