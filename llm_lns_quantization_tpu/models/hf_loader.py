@@ -62,6 +62,11 @@ def _j(x, dtype):
 def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> Tuple:
     cfg_json = _read_config(path)
     tensors = _load_tensors(path)
+    qcfg_path = os.path.join(path, "quantize_config.json")
+    if os.path.exists(qcfg_path) or any(k.endswith(".qweight") for k in tensors):
+        with open(qcfg_path, encoding="utf-8") as f:
+            qcfg = json.load(f)
+        tensors = _dequantize_gptq(tensors, qcfg)
     if family == "gpt2":
         return _load_gpt2(cfg_json, tensors, dtype, overrides)
     if family == "llama":
@@ -312,3 +317,65 @@ def _load_t5(cfg_json, tensors, dtype, overrides):
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _j(t["lm_head.weight"], dtype).T
     return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# GPTQ checkpoints (reference: AutoGPTQForCausalLM.from_quantized,
+# huggingface.py:1859-1874). The packed format is AutoGPTQ's: per Linear,
+#   qweight int32 [in/ (32/bits), out]   codes packed along in_features
+#   qzeros  int32 [groups, out/(32/bits)] packed zero points
+#   scales  f16   [groups, out]
+#   g_idx   int32 [in]                    row -> group map (act-order aware)
+# Dequant: w[i,j] = scales[g[i],j] * (code[i,j] - (zero[g[i],j] + 1)); the +1
+# compensates AutoGPTQ's pack-time `zeros -= 1` (v1 checkpoints). v2
+# checkpoints (quantize_config "checkpoint_format": "gptq_v2") drop it.
+# ---------------------------------------------------------------------------
+
+
+def _gptq_unpack_rows(packed, bits):
+    """int32 [n/(32/bits), m] -> int [n, m] (low bits first)."""
+    pack = 32 // bits
+    mask = (1 << bits) - 1
+    shifts = np.arange(pack, dtype=np.int64) * bits
+    u = (packed.astype(np.int64)[:, None, :] >> shifts[None, :, None]) & mask
+    return u.reshape(-1, packed.shape[1])
+
+
+def _gptq_unpack_cols(packed, bits):
+    """int32 [n, m/(32/bits)] -> int [n, m] (low bits first)."""
+    pack = 32 // bits
+    mask = (1 << bits) - 1
+    shifts = np.arange(pack, dtype=np.int64) * bits
+    u = (packed.astype(np.int64)[:, :, None] >> shifts[None, None, :]) & mask
+    return u.reshape(packed.shape[0], -1)
+
+
+def _dequantize_gptq(tensors, qcfg):
+    bits = int(qcfg.get("bits", 4))
+    if 32 % bits != 0:
+        raise ValueError(f"unsupported GPTQ bits={bits}")
+    zero_off = 0 if qcfg.get("checkpoint_format") == "gptq_v2" else 1
+    bases = {n[: -len(".qweight")] for n in tensors if n.endswith(".qweight")}
+    out = {}
+    for name, t in tensors.items():
+        base, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        if base in bases and leaf in ("qweight", "qzeros", "scales", "g_idx"):
+            continue
+        out[name] = t
+    for base in bases:
+        codes = _gptq_unpack_rows(np.asarray(tensors[base + ".qweight"]), bits)
+        zeros = _gptq_unpack_cols(np.asarray(tensors[base + ".qzeros"]), bits)
+        scales = np.asarray(tensors[base + ".scales"]).astype(np.float32)
+        in_features = codes.shape[0]
+        if base + ".g_idx" in tensors:
+            g_idx = np.asarray(tensors[base + ".g_idx"]).astype(np.int64)
+        else:
+            group_size = int(qcfg.get("group_size", 128))
+            if group_size <= 0:
+                group_size = in_features
+            g_idx = np.arange(in_features) // group_size
+        w = scales[g_idx] * (codes - (zeros[g_idx] + zero_off))
+        # store in HF nn.Linear orientation [out, in] so the family mappers'
+        # usual .T applies
+        out[base + ".weight"] = w.T.astype(np.float32)
+    return out

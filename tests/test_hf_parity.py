@@ -213,3 +213,76 @@ def test_t5_encoder_padding_mask_matches_hf(tmp_path_factory, token_batch):
             decoder_input_ids=torch.tensor(dec, dtype=torch.long),
         ).logits
     _logits_close(ours, theirs, rtol=5e-4, atol=5e-4)
+
+
+def test_gptq_checkpoint_loads_and_matches_dequant(tmp_path_factory):
+    """Synthesize an AutoGPTQ-format llama checkpoint with known codes; the
+    loader's dequant must reproduce the exact float weights (and logits)."""
+    from safetensors.numpy import save_file
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(11)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy().copy() for k, v in model.state_dict().items()}
+
+    bits, group_size = 4, 16
+    pack = 32 // bits
+    rng = np.random.default_rng(5)
+    packed_sd = {}
+    for name, w in sd.items():
+        if name.endswith(".weight") and (
+            "self_attn" in name or "mlp" in name
+        ) and "norm" not in name:
+            base = name[: -len(".weight")]
+            out_f, in_f = w.shape
+            groups = in_f // group_size
+            codes = rng.integers(0, 16, (in_f, out_f)).astype(np.int64)
+            zeros = rng.integers(1, 15, (groups, out_f)).astype(np.int64)
+            scales = (rng.random((groups, out_f)).astype(np.float32) + 0.5) * 0.02
+            g_idx = (np.arange(in_f) // group_size).astype(np.int32)
+            # AutoGPTQ semantics: kernel computes scale*(code - (stored+1))
+            # and pack-time stored = zero-1, so effective w = scale*(code-zero)
+            w_deq = scales[g_idx] * (codes - zeros[g_idx])
+            # overwrite the float model so both paths share ground truth
+            sd[name] = None
+            with torch.no_grad():
+                dict(model.named_parameters())[name].copy_(
+                    torch.tensor(w_deq.T.astype(np.float32))
+                )
+            # AutoGPTQ packs rows in order: rows [i*pack+p] -> word i shift p
+            qweight = np.zeros((in_f // pack, out_f), np.int64)
+            for i in range(in_f // pack):
+                for p in range(pack):
+                    qweight[i] |= codes[i * pack + p] << (bits * p)
+            qz = zeros - 1  # pack-time `zeros -= 1` (gptq v1)
+            qzeros = np.zeros((groups, out_f // pack), np.int64)
+            for j in range(out_f // pack):
+                for p in range(pack):
+                    qzeros[:, j] |= qz[:, j * pack + p] << (bits * p)
+            packed_sd[base + ".qweight"] = qweight.astype(np.int32)
+            packed_sd[base + ".qzeros"] = qzeros.astype(np.int32)
+            packed_sd[base + ".scales"] = scales
+            packed_sd[base + ".g_idx"] = g_idx
+        else:
+            packed_sd[name] = w
+
+    path = tmp_path_factory.mktemp("gptq_llama")
+    save_file(packed_sd, str(path / "model.safetensors"))
+    cfg.save_pretrained(path)
+    import json as _json
+
+    (path / "quantize_config.json").write_text(
+        _json.dumps({"bits": bits, "group_size": group_size, "sym": False})
+    )
+
+    bundle = build_model(family="llama", checkpoint=str(path), dtype=jnp.float32)
+    toks = np.random.default_rng(0).integers(1, 200, (2, 10)).astype(np.int32)
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(toks))
+    with torch.no_grad():
+        theirs = model(torch.tensor(toks, dtype=torch.long)).logits
+    _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
