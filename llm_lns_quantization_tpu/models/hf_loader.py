@@ -148,6 +148,7 @@ def _load_llama(cfg_json, tensors, dtype, overrides):
         ),
         rms_norm_eps=cfg_json.get("rms_norm_eps", 1e-5),
         rope_theta=cfg_json.get("rope_theta", 10000.0),
+        rope_scaling=cfg_json.get("rope_scaling"),
         tie_word_embeddings=cfg_json.get("tie_word_embeddings", False),
         dtype=dtype,
         **overrides,

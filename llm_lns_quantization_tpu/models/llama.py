@@ -58,6 +58,7 @@ class LlamaConfig:
     num_key_value_heads: int = 32
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None  # HF-style: linear | dynamic | llama3
     tie_word_embeddings: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -140,16 +141,66 @@ def init_params(key, cfg: LlamaConfig) -> Dict:
     return p
 
 
+def _rope_freqs(cfg: LlamaConfig):
+    """Inverse frequencies, with HF-compatible rope_scaling variants:
+
+    * ``linear``  — positions divided by ``factor``;
+    * ``dynamic`` — NTK-aware base rescaling, evaluated at the model's static
+      max window (HF recomputes per-sequence-length; under jit the window is
+      the static worst case, which matches HF exactly at full context and is
+      conservative below it);
+    * ``llama3``  — per-frequency piecewise interpolation
+      (transformers modeling_rope_utils._compute_llama3_parameters).
+    """
+    import math
+
+    half = cfg.head_dim // 2
+    freqs = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    rs = cfg.rope_scaling
+    if not rs:
+        return freqs
+    typ = rs.get("rope_type", rs.get("type", "default"))
+    factor = float(rs.get("factor", 1.0))
+    if typ == "default":
+        return freqs
+    if typ == "linear":
+        return freqs / factor
+    if typ == "dynamic":
+        orig = int(
+            rs.get(
+                "original_max_position_embeddings", cfg.max_position_embeddings
+            )
+        )
+        seq_len = max(cfg.max_position_embeddings, orig)
+        base = cfg.rope_theta * (
+            factor * seq_len / orig - (factor - 1)
+        ) ** (cfg.head_dim / (cfg.head_dim - 2))
+        return 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if typ == "llama3":
+        low = float(rs.get("low_freq_factor", 1.0))
+        high = float(rs.get("high_freq_factor", 4.0))
+        orig = int(rs["original_max_position_embeddings"])
+        wavelen = 2.0 * math.pi / freqs
+        low_wl = orig / low
+        high_wl = orig / high
+        smooth = (orig / wavelen - low) / (high - low)
+        mid = (1.0 - smooth) * freqs / factor + smooth * freqs
+        return jnp.where(
+            wavelen > low_wl, freqs / factor,
+            jnp.where(wavelen < high_wl, freqs, mid),
+        )
+    raise ValueError(f"unknown rope_scaling type {typ!r}")
+
+
 def _rope_tables(cfg: LlamaConfig, positions, actq: ActQuantizer):
     """cos/sin tables for the given positions: [B, T, D/2] each.
 
     The ``rope`` quant site quantizes these tables — exactly what the
     reference's tuple-path hook does to LlamaRotaryEmbedding's output.
     """
-    half = cfg.head_dim // 2
-    freqs = 1.0 / (
-        cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
-    )
+    freqs = _rope_freqs(cfg)
     angles = positions[..., None].astype(jnp.float32) * freqs
     cos = actq("rope", jnp.cos(angles))
     sin = actq("rope", jnp.sin(angles))

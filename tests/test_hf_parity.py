@@ -286,3 +286,29 @@ def test_gptq_checkpoint_loads_and_matches_dequant(tmp_path_factory):
     with torch.no_grad():
         theirs = model(torch.tensor(toks, dtype=torch.long)).logits
     _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("rope_scaling", [
+    {"rope_type": "linear", "factor": 2.0},
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 32},
+])
+def test_llama_rope_scaling_matches_hf(tmp_path_factory, token_batch, rope_scaling):
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rope_theta=10000.0,
+        rope_scaling=dict(rope_scaling), attention_dropout=0.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(13)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("llama_rope")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="llama", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.cfg.rope_scaling is not None
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
