@@ -183,11 +183,6 @@ def _load_llama(cfg_json, tensors, dtype, overrides):
 def _load_opt(cfg_json, tensors, dtype, overrides):
     from .opt import OPTConfig
 
-    if cfg_json.get("word_embed_proj_dim", cfg_json["hidden_size"]) != cfg_json["hidden_size"]:
-        raise NotImplementedError(
-            "OPT checkpoints with word_embed_proj_dim != hidden_size (e.g. "
-            "opt-350m) use embedding projections this loader doesn't map yet"
-        )
     cfg = OPTConfig(
         vocab_size=cfg_json["vocab_size"],
         max_position_embeddings=cfg_json["max_position_embeddings"],
@@ -195,6 +190,8 @@ def _load_opt(cfg_json, tensors, dtype, overrides):
         ffn_dim=cfg_json["ffn_dim"],
         num_hidden_layers=cfg_json["num_hidden_layers"],
         num_attention_heads=cfg_json["num_attention_heads"],
+        word_embed_proj_dim=cfg_json.get("word_embed_proj_dim"),
+        do_layer_norm_before=cfg_json.get("do_layer_norm_before", True),
         dtype=dtype,
         **overrides,
     )
@@ -207,12 +204,16 @@ def _load_opt(cfg_json, tensors, dtype, overrides):
     params = {
         "embed": _j(t["embed_tokens.weight"], dtype),
         "embed_pos": _j(t["embed_positions.weight"], dtype),
-        "final_ln": {
-            "g": _j(t["final_layer_norm.weight"], dtype),
-            "b": _j(t["final_layer_norm.bias"], dtype),
-        },
         "layers": [],
     }
+    if "final_layer_norm.weight" in t:  # absent on opt-350m (post-LN)
+        params["final_ln"] = {
+            "g": _j(t["final_layer_norm.weight"], dtype),
+            "b": _j(t["final_layer_norm.bias"], dtype),
+        }
+    if "project_in.weight" in t:
+        params["project_in"] = _j(t["project_in.weight"], dtype).T
+        params["project_out"] = _j(t["project_out.weight"], dtype).T
     for i in range(cfg.num_hidden_layers):
         pre = f"layers.{i}."
         params["layers"].append(

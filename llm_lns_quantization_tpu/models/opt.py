@@ -18,6 +18,8 @@ from .layers import cast_floats, dense, initializer, layer_norm
 QUANT_SITES = (
     "embed",
     "embed_pos",
+    "project_in",
+    "project_out",
     "attn_q",
     "attn_k",
     "attn_v",
@@ -39,6 +41,11 @@ class OPTConfig:
     num_hidden_layers: int = 24
     num_attention_heads: int = 32
     layer_norm_eps: float = 1e-5
+    # OPT-350m quirks (HF modeling_opt): a narrower embedding dim with
+    # project_in/project_out linears, and post-LN residual blocks with no
+    # final decoder norm
+    word_embed_proj_dim: Optional[int] = None
+    do_layer_norm_before: bool = True
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -64,22 +71,40 @@ class OPTConfig:
         base.update(kw)
         return cls(**base)
 
+    @classmethod
+    def opt_350m(cls, **kw):
+        base = dict(
+            hidden_size=1024, ffn_dim=4096, num_hidden_layers=24,
+            num_attention_heads=16, word_embed_proj_dim=512,
+            do_layer_norm_before=False,
+        )
+        base.update(kw)
+        return cls(**base)
+
     @property
     def head_dim(self):
         return self.hidden_size // self.num_attention_heads
 
+    @property
+    def proj_dim(self):
+        return self.word_embed_proj_dim or self.hidden_size
+
 
 def init_params(key, cfg: OPTConfig) -> Dict:
-    keys = jax.random.split(key, 2 + cfg.num_hidden_layers)
-    H, F = cfg.hidden_size, cfg.ffn_dim
+    keys = jax.random.split(key, 4 + cfg.num_hidden_layers)
+    H, F, E = cfg.hidden_size, cfg.ffn_dim, cfg.proj_dim
     p = {
-        "embed": initializer(keys[0], (cfg.vocab_size, H)),
+        "embed": initializer(keys[0], (cfg.vocab_size, E)),
         "embed_pos": initializer(
             keys[1], (cfg.max_position_embeddings + _POS_OFFSET, H), scale=0.01
         ),
-        "final_ln": {"g": jnp.ones((H,)), "b": jnp.zeros((H,))},
         "layers": [],
     }
+    if cfg.do_layer_norm_before:
+        p["final_ln"] = {"g": jnp.ones((H,)), "b": jnp.zeros((H,))}
+    if E != H:
+        p["project_in"] = initializer(keys[2], (E, H))
+        p["project_out"] = initializer(keys[3], (H, E))
     for i in range(cfg.num_hidden_layers):
         ks = jax.random.split(keys[2 + i], 6)
         p["layers"].append(
@@ -182,28 +207,48 @@ def forward(
                 jnp.finfo(jnp.float32).min,
             )
 
-    x = actq("embed", params["embed"][tokens]) + actq(
-        "embed_pos", params["embed_pos"][positions + _POS_OFFSET]
-    )
+    x = actq("embed", params["embed"][tokens])
+    if "project_in" in params:
+        x = actq(
+            "project_in",
+            jnp.dot(x, params["project_in"], preferred_element_type=jnp.float32),
+        )
+    x = x + actq("embed_pos", params["embed_pos"][positions + _POS_OFFSET])
     x = x.astype(cfg.dtype)
 
     new_cache = [] if decode else None
+    pre_ln = cfg.do_layer_norm_before
     for i, lp in enumerate(params["layers"]):
-        h = layer_norm(x, lp["self_attn_ln"]["g"], lp["self_attn_ln"]["b"], cfg.layer_norm_eps)
+        def ln1(t):
+            return layer_norm(t, lp["self_attn_ln"]["g"], lp["self_attn_ln"]["b"], cfg.layer_norm_eps)
+
+        def ln2(t):
+            return layer_norm(t, lp["final_ln"]["g"], lp["final_ln"]["b"], cfg.layer_norm_eps)
+
         attn_out, layer_cache = _attention(
-            h, lp, cfg, actq, mask_bias,
+            ln1(x) if pre_ln else x, lp, cfg, actq, mask_bias,
             cache[i] if decode else None,
             cache_index if decode else None,
         )
         x = x + attn_out
-        h = layer_norm(x, lp["final_ln"]["g"], lp["final_ln"]["b"], cfg.layer_norm_eps)
+        if not pre_ln:  # OPT-350m: post-LN residual blocks
+            x = ln1(x)
+        h = ln2(x) if pre_ln else x
         h = dense(h, lp["fc1"]["w"], lp["fc1"]["b"], actq, "mlp_fc1")
         h = jax.nn.relu(h)
         x = x + dense(h, lp["fc2"]["w"], lp["fc2"]["b"], actq, "mlp_fc2")
+        if not pre_ln:
+            x = ln2(x)
         if decode:
             new_cache.append(layer_cache)
 
-    x = layer_norm(x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps)
+    if "final_ln" in params:
+        x = layer_norm(x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps)
+    if "project_out" in params:
+        x = actq(
+            "project_out",
+            jnp.dot(x, params["project_out"], preferred_element_type=jnp.float32),
+        ).astype(cfg.dtype)
     logits = jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
     logits = actq("lm_head", logits)
     return (logits, new_cache) if decode else logits

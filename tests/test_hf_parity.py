@@ -312,3 +312,25 @@ def test_llama_rope_scaling_matches_hf(tmp_path_factory, token_batch, rope_scali
     with torch.no_grad():
         theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+def test_opt_350m_style_matches_hf(tmp_path_factory, token_batch):
+    """OPT-350m quirks: word_embed_proj_dim projections + post-LN blocks
+    without a final decoder norm."""
+    cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=16, do_layer_norm_before=False, dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(21)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("opt350")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="opt", checkpoint=str(path), dtype=jnp.float32)
+    assert "project_in" in bundle.params and "final_ln" not in bundle.params
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
