@@ -8,9 +8,10 @@ shrink 2x (LNS8/INT8), and XLA's bf16 matmul remains the roofline reference.
 
 Kernels:
   lns_matmul   — x:bf16 [M,K] @ lns-coded w [K,N]: codes are decoded to
-                 bf16 in VMEM per (K,N) tile (bit unpack + exp2 on the VPU),
-                 then fed to the MXU. Log-domain "add-as-multiply" shows up
-                 as the decode being a pure exponent manipulation.
+                 bf16 in VMEM per (K,N) tile (pure integer bit-assembly on
+                 the VPU — see _lns_decode; no transcendentals), then fed to
+                 the MXU. Log-domain "add-as-multiply" shows up as the decode
+                 being a pure exponent manipulation.
   int8_matmul  — x:bf16 [M,K] @ int8 w [K,N] with per-column scales:
                  int8 codes are upcast in VMEM, MXU accumulates in f32,
                  per-column scale applied in the epilogue (W8A8 weight path).
@@ -42,13 +43,31 @@ def _cdiv(a, b):
 _K_RESIDENT_MAX = 6144  # beyond this, fall back to k-tiled kernels
 
 
-def _lns_decode(u, inv_scale):
+def _lns_decode(u, frac_bits):
+    """uint8 LNS code -> bf16 value, without transcendentals.
+
+    value = sign * 2^(k / 2^f) with k = (u & 0x7F) - 64. Split k = 2^f*e + r:
+    the integer part (and the sign bit) are assembled directly into float32
+    exponent/sign bits with integer ops; the fractional part multiplies by
+    one of 2^f correctly-rounded constants picked by a select tree. Exact to
+    f32 rounding — and cheaper on the VPU than exp2, which matters because
+    the decode is the non-MXU cost of every quantized matmul.
+    """
+    f = frac_bits
     k = (u & 0x7F) - 64
-    mag = jnp.exp2(k.astype(jnp.float32) * inv_scale)
-    return jnp.where((u & 0x80) != 0, -mag, mag).astype(jnp.bfloat16)
+    e = (k >> f) + 127  # arithmetic shift: floor division for negative k
+    sbits = (u & 0x80) << 24  # sign -> float32 bit 31
+    base = jax.lax.bitcast_convert_type(
+        (sbits | (e << 23)).astype(jnp.int32), jnp.float32
+    )
+    r = k & ((1 << f) - 1)
+    m = jnp.float32(1.0)
+    for i in range(1, 1 << f):
+        m = jnp.where(r == i, jnp.float32(2.0 ** (i / (1 << f))), m)
+    return (base * m).astype(jnp.bfloat16)
 
 
-def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, inv_scale, out_dtype):
+def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, frac_bits, out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -56,7 +75,7 @@ def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, inv_scale, out_dt
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = _lns_decode(w_ref[...].astype(jnp.int32), inv_scale)
+    w = _lns_decode(w_ref[...].astype(jnp.int32), frac_bits)
     acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
 
     @pl.when(k_step == nk - 1)
@@ -64,7 +83,7 @@ def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, inv_scale, out_dt
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
+def _lns_matmul_ktiled(x, codes, frac_bits, out_dtype,
                        block_m=512, block_n=512, block_k=2048):
     """Classic (i, j, k) tiling for K too large to keep VMEM-resident.
 
@@ -79,7 +98,7 @@ def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
 
     grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
     kernel = functools.partial(
-        _lns_matmul_ktiled_kernel, inv_scale=inv_scale, out_dtype=out_dtype
+        _lns_matmul_ktiled_kernel, frac_bits=frac_bits, out_dtype=out_dtype
     )
     return pl.pallas_call(
         kernel,
@@ -98,7 +117,7 @@ def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
-            transcendentals=K * N * _cdiv(M, block_m),
+            transcendentals=0,  # decode is integer bit-assembly
         ),
     )(x, codes)
 
@@ -108,7 +127,7 @@ def _lns_matmul_ktiled(x, codes, inv_scale, out_dtype,
 # ---------------------------------------------------------------------------
 
 
-def _lns_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, inv_scale, out_dtype):
+def _lns_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, frac_bits, out_dtype):
     # grid is (j, i) with i (the M tiles) innermost: the weight tile for a
     # given j stays resident in VMEM across all i steps, and its decode runs
     # once (at i == 0) into the persistent scratch — dequant cost is
@@ -117,10 +136,7 @@ def _lns_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, inv_scale, out_dtype):
 
     @pl.when(i == 0)
     def _():
-        u = w_ref[...].astype(jnp.int32)
-        k = (u & 0x7F) - 64
-        mag = jnp.exp2(k.astype(jnp.float32) * inv_scale)
-        wdec_ref[...] = jnp.where((u & 0x80) != 0, -mag, mag).astype(jnp.bfloat16)
+        wdec_ref[...] = _lns_decode(w_ref[...].astype(jnp.int32), frac_bits)
 
     o_ref[...] = jnp.dot(
         x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
@@ -149,7 +165,7 @@ def lns_matmul(
     assert K == K2, (x.shape, codes.shape)
     if K > _K_RESIDENT_MAX:
         return _lns_matmul_ktiled(
-            x, codes, 1.0 / float(2**frac_bits), out_dtype,
+            x, codes, frac_bits, out_dtype,
             block_m=block_m, block_n=block_n,
         )
     block_m = min(block_m, M)
@@ -167,7 +183,7 @@ def lns_matmul(
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     kernel = functools.partial(
         _lns_matmul_kernel,
-        inv_scale=1.0 / float(2**frac_bits),
+        frac_bits=frac_bits,
         out_dtype=out_dtype,
     )
     return pl.pallas_call(
@@ -187,7 +203,7 @@ def lns_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
-            transcendentals=K * N,  # exp2 per weight element (once)
+            transcendentals=0,  # decode is integer bit-assembly
         ),
     )(x, codes)
 
@@ -282,9 +298,15 @@ def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, n_half_tiles, out_dtyp
         # j >= n_half_tiles reads the high nibbles (columns [N/2, N)). One
         # vector select — no lane interleave (Mosaic can't shape-cast one).
         nib = jnp.where(j < n_half_tiles, u & 0xF, (u >> 4) & 0xF)
+        # bit-assembled 2^(k/2): integer part + sign into f32 bits, one
+        # select for the half-step (see _lns_decode)
         k = (nib & 0x7) - 4
-        mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
-        wdec_ref[...] = jnp.where((nib & 0x8) != 0, -mag, mag).astype(jnp.bfloat16)
+        sbits = (nib & 0x8) << 28  # nibble sign bit 3 -> float32 bit 31
+        base = jax.lax.bitcast_convert_type(
+            (sbits | (((k >> 1) + 127) << 23)).astype(jnp.int32), jnp.float32
+        )
+        m = jnp.where((k & 1) == 1, jnp.float32(2.0**0.5), jnp.float32(1.0))
+        wdec_ref[...] = (base * m).astype(jnp.bfloat16)
 
     o_ref[...] = jnp.dot(
         x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
@@ -352,7 +374,7 @@ def lns4_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
-            transcendentals=K * N,
+            transcendentals=0,
         ),
     )(x, packed)
 

@@ -55,6 +55,8 @@ _PACKABLE = (
     "q_proj", "k_proj", "v_proj", "o_proj",                # llama
     "gate_proj", "up_proj", "down_proj",
     "out_proj/w", "fc1/w", "fc2/w",                        # opt
+    "/q", "/k", "/v", "/o", "/cq", "/ck", "/cv", "/co",    # t5 attention
+    "/wi", "/wi_0", "/wi_1", "/wo",                        # t5 ffn
 )
 
 # format name -> (frac_bits, man_bits) for LNS packing

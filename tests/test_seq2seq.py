@@ -169,3 +169,26 @@ def test_evaluator_with_seq2seq(tmp_path):
     out = evaluate(lm=lm, task_dict=task_dict, num_fewshot=0, limit=2,
                    bootstrap_iters=2)
     assert "piqa" in out["results"]
+
+
+def test_pallas_packed_t5_matches_fake_quant():
+    """w:lns8;pallas packs T5 linears and the kernel path tracks fake-quant."""
+    from llm_lns_quantization_tpu.ops.packing import LNSWeight
+
+    fake = build_model(family="t5", preset="tiny", seed=0,
+                       quant=QuantConfig(weights="lns8"), dtype=jnp.float32)
+    packed = build_model(family="t5", preset="tiny", seed=0,
+                         quant=QuantConfig.parse("w:lns8;pallas"),
+                         dtype=jnp.float32)
+    leaves = [
+        l for l in
+        __import__("jax").tree_util.tree_leaves(
+            packed.params, is_leaf=lambda x: isinstance(x, LNSWeight))
+        if isinstance(l, LNSWeight)
+    ]
+    assert len(leaves) >= 2 * 2 * 6  # enc(6) + dec(10) linears x 2 layers
+    enc = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    dec = jnp.array([[0, 5, 6]], jnp.int32)
+    a = fake.forward(fake.params, fake.cfg, enc, dec)
+    b = packed.forward(packed.params, packed.cfg, enc, dec)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05, atol=0.15)
