@@ -29,11 +29,14 @@ import jax.numpy as jnp
 
 from ..quant.apply import NULL_ACT_QUANT, ActQuantizer
 from .layers import (
+    attention_core,
     causal_mask_bias,
+    decode_mask_bias,
     dense,
     gelu_new,
     initializer,
     layer_norm,
+    update_kv_cache,
 )
 
 QUANT_SITES = ("wte", "wpe", "attn_qkv", "attn_out", "mlp_fc", "mlp_out", "lm_head")
@@ -119,38 +122,14 @@ def _attention(
 
     new_cache = None
     if cache is not None:
-        from ..ops.kv_cache import (
-            FP8KV,
-            QuantKV,
-            fp8_dequantize,
-            fp8_update,
-            kv_dequantize,
-            kv_update,
-        )
+        k, v, new_cache = update_kv_cache(cache, k, v, cache_index, x.dtype)
 
-        ck, cv = cache
-        if isinstance(ck, QuantKV):
-            # INT8 KV cache: quantize on write, dequantize on read
-            ck = kv_update(ck, k, cache_index)
-            cv = kv_update(cv, v, cache_index)
-            k = kv_dequantize(ck, dtype=x.dtype)
-            v = kv_dequantize(cv, dtype=x.dtype)
-        elif isinstance(ck, FP8KV):
-            ck = fp8_update(ck, k, cache_index)
-            cv = fp8_update(cv, v, cache_index)
-            k = fp8_dequantize(ck, dtype=x.dtype)
-            v = fp8_dequantize(cv, dtype=x.dtype)
-        else:
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
-            k, v = ck, cv
-        new_cache = (ck, cv)
-
-    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
-    scores = scores + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32)
+    out = attention_core(
+        q, k, v,
+        scale=1.0 / float(cfg.head_dim) ** 0.5,
+        mask_bias=mask_bias,
+        is_causal=mask_bias is None,
+    )
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, C)
     out = dense(out, block["c_proj_w"], block["c_proj_b"], actq, "attn_out")
     return out, new_cache
@@ -186,20 +165,20 @@ def forward(
 
     if decode:
         if positions is None:
-            positions = jnp.arange(T)[None, :] + cache_index
+            idx = jnp.asarray(cache_index)
+            positions = jnp.arange(T)[None, :] + (
+                idx[:, None] if idx.ndim else idx
+            )
         kv_len = cache[0][0].shape[2]
-        kv_pos = jnp.arange(kv_len)[None, :]
-        allowed = kv_pos <= (jnp.arange(T)[:, None] + cache_index)
-        if attn_mask is not None:
-            allowed = allowed[None] & attn_mask[:, None, :].astype(bool)
-        mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
-        if mask_bias.ndim == 3:
-            mask_bias = mask_bias[:, None, :, :]  # [B, 1, T, S]
+        mask_bias = decode_mask_bias(T, kv_len, cache_index, attn_mask)
     else:
         if positions is None:
             positions = jnp.arange(T)[None, :]
-        mask_bias = causal_mask_bias(T, T)
+        # None = pure causal: attention_core builds the mask (or takes the
+        # fused flash path on TPU, the harness's scoring hot path)
+        mask_bias = None
         if attn_mask is not None:
+            mask_bias = causal_mask_bias(T, T)
             mask_bias = jnp.where(
                 attn_mask[:, None, None, :].astype(bool),
                 mask_bias[None, None],

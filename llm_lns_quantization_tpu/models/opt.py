@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.apply import NULL_ACT_QUANT, ActQuantizer
-from .layers import cast_floats, dense, initializer, layer_norm
+from .layers import attention_core, cast_floats, dense, initializer, layer_norm
+from .layers import decode_mask_bias, update_kv_cache
 
 QUANT_SITES = (
     "embed",
@@ -137,37 +138,14 @@ def _attention(x, lp, cfg: OPTConfig, actq, mask_bias, cache, cache_index):
 
     new_cache = None
     if cache is not None:
-        from ..ops.kv_cache import (
-            FP8KV,
-            QuantKV,
-            fp8_dequantize,
-            fp8_update,
-            kv_dequantize,
-            kv_update,
-        )
+        k, v, new_cache = update_kv_cache(cache, k, v, cache_index, x.dtype)
 
-        ck, cv = cache
-        if isinstance(ck, QuantKV):
-            # INT8 KV cache: quantize on write, dequantize on read
-            ck = kv_update(ck, k, cache_index)
-            cv = kv_update(cv, v, cache_index)
-            k = kv_dequantize(ck, dtype=x.dtype)
-            v = kv_dequantize(cv, dtype=x.dtype)
-        elif isinstance(ck, FP8KV):
-            ck = fp8_update(ck, k, cache_index)
-            cv = fp8_update(cv, v, cache_index)
-            k = fp8_dequantize(ck, dtype=x.dtype)
-            v = fp8_dequantize(cv, dtype=x.dtype)
-        else:
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
-            k, v = ck, cv
-        new_cache = (ck, cv)
-
-    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(hd).astype(jnp.float32) + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32)
+    out = attention_core(
+        q, k, v,
+        scale=1.0 / float(hd) ** 0.5,
+        mask_bias=mask_bias,
+        is_causal=mask_bias is None,
+    )
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, H)
     return dense(out, lp["out_proj"]["w"], lp["out_proj"]["b"], actq, "attn_out"), new_cache
 
@@ -187,20 +165,21 @@ def forward(
 
     if decode:
         if positions is None:
-            positions = jnp.arange(T)[None, :] + cache_index
+            idx = jnp.asarray(cache_index)
+            positions = jnp.arange(T)[None, :] + (
+                idx[:, None] if idx.ndim else idx
+            )
         kv_len = cache[0][0].shape[2]
-        allowed = jnp.arange(kv_len)[None, :] <= (jnp.arange(T)[:, None] + cache_index)
-        if attn_mask is not None:
-            allowed = allowed[None] & attn_mask[:, None, :].astype(bool)
-        mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
-        if mask_bias.ndim == 3:
-            mask_bias = mask_bias[:, None, :, :]
+        mask_bias = decode_mask_bias(T, kv_len, cache_index, attn_mask)
     else:
         if positions is None:
             positions = jnp.arange(T)[None, :]
-        allowed = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]
-        mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
+        # None = pure causal: attention_core builds the mask (or takes the
+        # fused flash path on TPU, the harness's scoring hot path)
+        mask_bias = None
         if attn_mask is not None:
+            allowed = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]
+            mask_bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
             mask_bias = jnp.where(
                 attn_mask[:, None, None, :].astype(bool),
                 mask_bias[None, None],

@@ -1,7 +1,7 @@
 """Pallas TPU kernels and quantized-storage formats (the real-quant tier)."""
 
 from .kv_cache import QuantKV, init_quant_cache, kv_dequantize, kv_quantize, kv_update
-from .matmul import int8_matmul, lns4_matmul, lns_matmul
+from .matmul import int8_matmul, lns4_matmul, lns_matmul, w8a8_matmul
 from .packing import (
     Int8Weight,
     LNS4Weight,
@@ -21,6 +21,7 @@ __all__ = [
     "kv_quantize",
     "kv_update",
     "int8_matmul",
+    "w8a8_matmul",
     "lns4_matmul",
     "lns_matmul",
     "Int8Weight",

@@ -379,6 +379,140 @@ def lns4_matmul(
     )(x, packed)
 
 
+# ---------------------------------------------------------------------------
+# True W8A8: int8 activations x int8 weights on the MXU
+# ---------------------------------------------------------------------------
+#
+# int8_matmul above is a *weight-compression* kernel (s8 codes upcast to bf16,
+# bf16 MXU). This one is the serving W8A8 path: activations are quantized to
+# int8 per row (dynamic symmetric absmax — the ZeroQuant/SmoothQuant recipe,
+# reference huggingface.py:976-989 modulo power-of-2 scales) *inside the
+# kernel* while the x tile is VMEM-resident, and the MXU runs a native
+# s8 x s8 -> s32 dot, which has 2x the bf16 throughput on v5e+. The epilogue
+# rescales by (row_scale x column_scale).
+
+
+def _w8a8_quant_rows(x):
+    """bf16/f32 [bm, K] -> (int8 codes, f32 per-row scale [bm, 1])."""
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    rscale = jnp.maximum(absmax, 1e-30) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x / rscale), -127.0, 127.0).astype(jnp.int8)
+    return xq, rscale
+
+
+def _w8a8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    xq, rscale = _w8a8_quant_rows(x_ref[...])
+    acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    o_ref[...] = (acc.astype(jnp.float32) * rscale * s_ref[...]).astype(out_dtype)
+
+
+def _w8a8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # per-(row, k-tile) scales: group quantization along K — finer-grained
+    # than one scale per row, so accumulate in f32 after rescaling each tile
+    xq, rscale = _w8a8_quant_rows(x_ref[...])
+    part = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    acc_ref[...] += part.astype(jnp.float32) * rscale
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(out_dtype)
+
+
+def _w8a8_matmul_ktiled(x, codes, scale, out_dtype,
+                        block_m=512, block_n=512, block_k=2048):
+    M, K = x.shape
+    _, N = codes.shape
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    scale2d = scale.reshape(1, N).astype(jnp.float32)
+    grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
+    kernel = functools.partial(_w8a8_matmul_ktiled_kernel, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scale2d)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
+def w8a8_matmul(
+    x: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """[M, K] bf16 @ int8 [K, N] (per-column scale [N]) -> [M, N], with the
+    activations dynamically quantized to int8 per row in-kernel and the
+    contraction running as a native s8 x s8 -> s32 MXU dot."""
+    M, K = x.shape
+    K2, N = codes.shape
+    assert K == K2, (x.shape, codes.shape)
+    if K > _K_RESIDENT_MAX:
+        return _w8a8_matmul_ktiled(
+            x, codes, scale, out_dtype, block_m=block_m, block_n=block_n
+        )
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        return 2 * (bm * K * 2 + bm * K) + 2 * (K * bn) + 2 * (bm * bn * 4)
+
+    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+        block_n //= 2
+    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+        block_m //= 2
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    scale2d = scale.reshape(1, N).astype(jnp.float32)
+    kernel = functools.partial(_w8a8_matmul_kernel, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scale2d)
+
+
 def _int8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)

@@ -1,0 +1,205 @@
+"""SPMD partitioning rules for the quantized Pallas matmuls (tensor parallel).
+
+A ``pl.pallas_call`` lowers to an opaque custom call, so GSPMD/Shardy cannot
+partition it: under the ("data", "model") mesh the packed weight operands of
+the real-quant tier would be all-gathered to full size on every device and
+the kernel run replicated — correct, but it forfeits the entire point of
+model-axis sharding (weights resident per-shard, compute N/p per device).
+The reference never faces this problem because it has no tensor parallelism
+at all (SURVEY.md §2.4); its scaling story is HF accelerate's layer-wise
+``device_map`` placement.
+
+This module wraps each kernel in ``jax.experimental.custom_partitioning`` so
+the partitioner runs the kernel on *local shards* with the standard
+megatron-layout collectives (the layout parallel/mesh.py assigns):
+
+  * column parallel — weight [K, N] sharded P(None, "model"): every device
+    keeps its N/p columns, runs the kernel locally, output stays sharded
+    P(batch, "model"). No collective.
+  * row parallel — weight sharded P("model", None): x arrives K-sharded
+    (Shardy re-shards if needed), each device contracts its K/p slice, and
+    the partial products are combined with one ``psum`` over "model" — the
+    single all-reduce per transformer block of the megatron layout.
+  * lns4 column parallel is special: the nibble-packed operand uses the
+    halves layout (packed byte column j holds output columns j AND j+N/2,
+    ops/packing.py LNS4Weight), so a contiguous shard of packed bytes is
+    NOT a contiguous slice of output columns and the sharded result is not
+    expressible as a NamedSharding. Instead each device decodes its own
+    packed shard and the (activation-sized) outputs are all-gathered:
+    M*N*2 bytes of ICI traffic versus K*N/2 for gathering the weights —
+    a large win in the decode regime (small M) that packed weights target,
+    and the weights stay resident-sharded either way.
+
+The kernels themselves are unchanged; on a single device (or outside jit)
+these wrappers behave exactly like the raw kernels.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import matmul as qmm
+
+
+def _pad_spec(sharding, ndim):
+    spec = tuple(sharding.spec)
+    return (spec + (None,) * ndim)[:ndim]
+
+
+def _resolve(arg_shapes):
+    """(x_row_axis, k_axis, n_axis) from the operand shardings, dropping any
+    axis conflicts (an axis may shard at most one of the three roles)."""
+    xspec = _pad_spec(arg_shapes[0].sharding, 2)
+    wspec = _pad_spec(arg_shapes[1].sharding, 2)
+    kax, nax = wspec
+    if nax is not None and nax == kax:
+        nax = None
+    xrow = xspec[0] if xspec[0] not in (kax, nax) else None
+    return xrow, kax, nax
+
+
+def _def_partition(cp, local_fn, rule):
+    """Attach column/row-parallel partitioning to a 2-D matmul-like
+    ``custom_partitioning`` whose result is [M, N_out] with N_out tracking
+    the weight's N axis contiguously (lns8 / int8)."""
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, _, nax = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, nax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+        n_args = len(arg_shapes)
+
+        def lower(x, w, *rest):
+            y = local_fn(x, w, *rest)
+            if kax is not None:
+                y = jax.lax.psum(y, kax)
+            return y
+
+        arg_specs = [P(xrow, kax), P(kax, nax)]
+        if n_args == 3:  # int8 per-column scale [N]: shard with N, never K
+            arg_specs.append(P(nax if kax is None else None))
+        out = NamedSharding(mesh, P(xrow, nax))
+        return (mesh, lower, out,
+                tuple(NamedSharding(mesh, s) for s in arg_specs))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _lns_matmul_cp(frac_bits: int, out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, codes):
+        return qmm.lns_matmul(x, codes, frac_bits=frac_bits, out_dtype=dtype)
+
+    return _def_partition(
+        custom_partitioning(local), local, "i j, j k -> i k"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _int8_matmul_cp(out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, codes, scale):
+        # per-column scale folds into the partial products linearly, so the
+        # row-parallel psum can run on scaled partials
+        return qmm.int8_matmul(x, codes, scale, out_dtype=dtype)
+
+    return _def_partition(
+        custom_partitioning(local), local, "i j, j k, k -> i k"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _w8a8_matmul_cp(out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, codes, scale):
+        # row-parallel shards quantize their own K-slice of x (per-shard
+        # row scales) — a strictly finer-grained quantization than one
+        # global row scale, and the scaled f32 partials psum exactly
+        return qmm.w8a8_matmul(x, codes, scale, out_dtype=dtype)
+
+    return _def_partition(
+        custom_partitioning(local), local, "i j, j k, k -> i k"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _lns4_matmul_cp(out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local3(x, packed):
+        # [M, N_local] halves-major -> [M, 2, N_local/2]: axis 2 then tracks
+        # the packed byte columns contiguously, making the column-parallel
+        # all-gather a plain tiled gather (see module docstring)
+        y = qmm.lns4_matmul(x, packed, out_dtype=dtype)
+        m, n = y.shape
+        return y.reshape(m, 2, n // 2)
+
+    cp = custom_partitioning(local3)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, kax, _ = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+
+        if kax is not None:  # row parallel: partial full-width products
+            def lower(x, p):
+                return jax.lax.psum(local3(x, p), kax)
+
+            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
+                    (NamedSharding(mesh, P(xrow, kax)),
+                     NamedSharding(mesh, P(kax, None))))
+
+        if nax is not None:  # column parallel: gather activation-sized output
+            def lower(x, p):
+                return jax.lax.all_gather(local3(x, p), nax, axis=2, tiled=True)
+
+            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
+                    (NamedSharding(mesh, P(xrow, None)),
+                     NamedSharding(mesh, P(None, nax))))
+
+        return (mesh, local3, NamedSharding(mesh, P(xrow, None, None)),
+                (NamedSharding(mesh, P(xrow, None)),
+                 NamedSharding(mesh, P(None, None))))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, j k -> i h k",
+    )
+    return cp
+
+
+def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16):
+    """Partitioning-aware ``ops.matmul.lns_matmul`` (see module docstring)."""
+    return _lns_matmul_cp(frac_bits, jnp.dtype(out_dtype).name)(x, codes)
+
+
+def int8_matmul(x, codes, scale, out_dtype=jnp.bfloat16):
+    """Partitioning-aware ``ops.matmul.int8_matmul``."""
+    return _int8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+
+
+def w8a8_matmul(x, codes, scale, out_dtype=jnp.bfloat16):
+    """Partitioning-aware ``ops.matmul.w8a8_matmul`` (true s8 x s8 MXU)."""
+    return _w8a8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+
+
+def lns4_matmul(x, packed, out_dtype=jnp.bfloat16):
+    """Partitioning-aware ``ops.matmul.lns4_matmul``."""
+    y = _lns4_matmul_cp(jnp.dtype(out_dtype).name)(x, packed)
+    m = y.shape[0]
+    return y.reshape(m, y.shape[1] * y.shape[2])

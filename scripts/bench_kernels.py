@@ -84,6 +84,7 @@ def main():
         t_bf16 = timeit(bf16_fn, x, wb)
         t_lns = timeit(lambda a, c: qmm.lns_matmul(a, c), x, wq.codes)
         t_int8 = timeit(lambda a, c, s: qmm.int8_matmul(a, c, s), x, w8.codes, w8.scale)
+        t_w8a8 = timeit(lambda a, c, s: qmm.w8a8_matmul(a, c, s), x, w8.codes, w8.scale)
 
         def row(name, t):
             print(
@@ -94,6 +95,7 @@ def main():
         row("bf16", t_bf16)
         row("lns8", t_lns)
         row("int8", t_int8)
+        row("w8a8", t_w8a8)
 
     # ------------------------------------------------------------------
     # decode regime: tiny M, weight-HBM-bound. Here the packed formats'
@@ -118,6 +120,7 @@ def main():
         t_lns = timeit(lambda a, c: qmm.lns_matmul(a, c), x, wq.codes, iters=64)
         t_int8 = timeit(lambda a, c, s: qmm.int8_matmul(a, c, s), x, w8.codes, w8.scale, iters=64)
         t_ln4 = timeit(lambda a, c: qmm.lns4_matmul(a, c), x, w4.packed, iters=64)
+        t_w8a8 = timeit(lambda a, c, s: qmm.w8a8_matmul(a, c, s), x, w8.codes, w8.scale, iters=64)
 
         def drow(name, t, nbytes):
             print(
@@ -129,6 +132,7 @@ def main():
         drow("lns8", t_lns, wbytes // 2)
         drow("int8", t_int8, wbytes // 2)
         drow("lns4", t_ln4, wbytes // 4)
+        drow("w8a8", t_w8a8, wbytes // 2)
 
 
 if __name__ == "__main__":

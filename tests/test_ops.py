@@ -300,3 +300,75 @@ def test_lns_matmul_large_k_ktiled_interpret():
         preferred_element_type=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("shape", [(16, 64, 256), (8, 8192, 128)])
+def test_w8a8_matmul_interpret(shape):
+    """True s8 x s8 kernel == exact integer oracle (per-row dynamic
+    activation quant, per-column weight scale). Second shape takes the
+    k-tiled path (per-(row, k-tile) group scales)."""
+    M, K, N = shape
+    x = jnp.asarray(rand((M, K), seed=7, scale=0.5))
+    w = rand((K, N), seed=8, scale=0.05)
+    q = pack_int8(w)
+
+    out = np.asarray(
+        qmm.w8a8_matmul(x, q.codes, q.scale, out_dtype=jnp.float32)
+    )
+
+    xq_all, parts = [], []
+    codes = np.asarray(q.codes, np.int32)
+    if K > qmm._K_RESIDENT_MAX:
+        ref = np.zeros((M, N), np.float32)
+        for k0 in range(0, K, 2048):
+            xt = np.asarray(x[:, k0:k0 + 2048], np.float32)
+            absmax = np.abs(xt).max(axis=1, keepdims=True)
+            rscale = np.maximum(absmax, 1e-30) / 127.0
+            xq = np.clip(np.round(xt / rscale), -127, 127).astype(np.int32)
+            ref += (xq @ codes[k0:k0 + 2048]).astype(np.float32) * rscale
+        ref *= np.asarray(q.scale, np.float32)[None, :]
+    else:
+        xt = np.asarray(x, np.float32)
+        absmax = np.abs(xt).max(axis=1, keepdims=True)
+        rscale = np.maximum(absmax, 1e-30) / 127.0
+        xq = np.clip(np.round(xt / rscale), -127, 127).astype(np.int32)
+        ref = (xq @ codes).astype(np.float32) * rscale \
+            * np.asarray(q.scale, np.float32)[None, :]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_w8a8_model_path_dispatch(monkeypatch):
+    """a:w8a8 + packed int8 weights routes dense() through the true-int8
+    kernel (spy), and one dense layer through it stays close to the
+    upcast-to-bf16 weight-compression kernel — the only difference is the
+    in-kernel per-row int8 quantization of the input."""
+    from llm_lns_quantization_tpu.models import layers
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
+
+    calls = []
+    real = tp.w8a8_matmul
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(tp, "w8a8_matmul", spy)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 12, 64)).astype(np.float32))
+    w = pack_int8(jnp.asarray(
+        rng.standard_normal((64, 192)).astype(np.float32) * 0.05))
+    b = jnp.asarray(rng.standard_normal(192).astype(np.float32) * 0.01)
+
+    actq = ActQuantizer(QuantConfig.parse("w:w8a8;a:w8a8;pallas"))
+    out_true = layers.dense(x, w, b, actq, site="fc")
+    assert calls, "dense() did not dispatch to the true-int8 kernel"
+
+    monkeypatch.setattr(layers, "_INT8_ACT_FORMATS", ())
+    out_compress = layers.dense(x, w, b, actq, site="fc")
+    # the output site-quant snaps to a coarse grid, so values near a grid
+    # boundary may land one step apart; require near-universal agreement
+    close = np.isclose(np.asarray(out_true), np.asarray(out_compress),
+                       rtol=0.05, atol=0.02)
+    assert close.mean() > 0.995, close.mean()

@@ -36,7 +36,7 @@ def test_mesh_shape_heuristic():
 
 
 @requires_multidevice
-@pytest.mark.parametrize("family", ["gpt2", "llama", "opt"])
+@pytest.mark.parametrize("family", ["gpt2", "llama", "opt", "neox"])
 def test_sharded_forward_matches_single_device(family):
     mesh = make_mesh(shape=(2, 4))
     overrides = {}
@@ -194,3 +194,118 @@ def test_sharded_t5_forward_matches_single_device():
     assert tuple(specs["encoder"][0]["q"]) == (None, "model")
     assert tuple(specs["decoder"][0]["co"]) == ("model", None)
     assert tuple(specs["encoder"][0]["wi"]) == (None, "model")
+
+
+@requires_multidevice
+def test_tp_kernel_partitioning_no_weight_gather():
+    """The custom_partitioning wrappers (ops/tp.py) must run the quantized
+    kernels on local weight shards: column-parallel compiles with no
+    collectives at all, row-parallel with exactly the megatron all-reduce —
+    never an all-gather of the packed codes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops.packing import pack_int8, pack_lns
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(0)
+    M, K, N = 16, 64, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    ref = np.asarray(x) @ np.asarray(w)
+
+    lw = pack_lns(w)
+    i8 = pack_int8(w)
+    xs = jax.device_put(x.astype(jnp.bfloat16),
+                        NamedSharding(mesh, P("data", None)))
+
+    def compiled_text(fn, *args):
+        return jax.jit(fn).lower(*args).compile().as_text()
+
+    # --- column parallel: codes sharded on N, zero collectives
+    codes_col = jax.device_put(lw.codes, NamedSharding(mesh, P(None, "model")))
+    fn8 = lambda a, c: tp.lns_matmul(a, c, frac_bits=3, out_dtype=jnp.float32)
+    out = jax.jit(fn8)(xs, codes_col)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.1, atol=0.05)
+    txt = compiled_text(fn8, xs, codes_col)
+    assert "all-gather" not in txt and "all-reduce" not in txt
+
+    # --- row parallel: codes sharded on K -> one all-reduce, no all-gather
+    codes_row = jax.device_put(lw.codes, NamedSharding(mesh, P("model", None)))
+    out = jax.jit(fn8)(xs, codes_row)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.1, atol=0.05)
+    txt = compiled_text(fn8, xs, codes_row)
+    assert "all-reduce" in txt and "all-gather" not in txt
+
+    # --- int8 with per-column scale, both layouts
+    fni = lambda a, c, s: tp.int8_matmul(a, c, s, out_dtype=jnp.float32)
+    for wspec, sspec in [(P(None, "model"), P("model")),
+                         (P("model", None), P())]:
+        c = jax.device_put(i8.codes, NamedSharding(mesh, wspec))
+        s = jax.device_put(i8.scale, NamedSharding(mesh, sspec))
+        out = jax.jit(fni)(xs, c, s)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=0.1, atol=0.05)
+        assert "all-gather" not in compiled_text(fni, xs, c, s)
+
+
+@requires_multidevice
+def test_tp_lns4_sharded_matches_dense():
+    """lns4 halves-layout: column-parallel gathers the (small) output, not
+    the packed weights; row-parallel psums partials. Both must match the
+    unsharded kernel bit-for-bit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_lns4
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(1)
+    M, K, N = 16, 64, 512  # N/2 = 256 divisible by model axis 4
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    p4 = pack_lns4(w)
+    ref = np.asarray(qmm.lns4_matmul(x, p4.packed, out_dtype=jnp.float32))
+
+    fn = lambda a, p: tp.lns4_matmul(a, p, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for spec in [P(None, "model"), P("model", None)]:
+        ps = jax.device_put(p4.packed, NamedSharding(mesh, spec))
+        out = jax.jit(fn)(xs, ps)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+    txt = jax.jit(fn).lower(
+        xs, jax.device_put(p4.packed, NamedSharding(mesh, P(None, "model")))
+    ).compile().as_text()
+    # the output all-gather (f32) is expected; gathering the packed operand
+    # would show as an all-gather with a u8 result type on the same line
+    gathers = [l for l in txt.splitlines() if "all-gather" in l]
+    assert gathers, "expected the column-parallel output all-gather"
+    assert not any("u8[" in l for l in gathers)
+
+
+@requires_multidevice
+def test_sharded_packed_forward_compiles_local_kernels():
+    """End-to-end: the jitted llama forward with model-sharded packed weights
+    must contain no all-gather of uint8 code operands (weights stay
+    resident-sharded; kernels run shard-local via ops/tp.py)."""
+    mesh = make_mesh(shape=(2, 4))
+    bundle = build_model(
+        family="llama", preset="tiny", quant=QuantConfig.parse("w:lns8;pallas")
+    )
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(0, 250, (4, 16)).astype(np.int32)
+    )
+    single = bundle.forward(bundle.params, bundle.cfg, tokens)
+    sharded_params = shard_params(bundle.params, bundle, mesh)
+    fwd = jax.jit(lambda p, t: bundle.forward(p, bundle.cfg, t))
+    out = fwd(sharded_params, jax.device_put(tokens, data_sharding(mesh)))
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(out), rtol=2e-3, atol=2e-3
+    )
+    txt = fwd.lower(
+        sharded_params, jax.device_put(tokens, data_sharding(mesh))
+    ).compile().as_text()
+    assert not any(
+        "u8[" in l for l in txt.splitlines() if "all-gather" in l
+    )
