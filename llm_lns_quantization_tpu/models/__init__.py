@@ -16,6 +16,7 @@ from ..quant.apply import ActQuantizer, quantize_weights
 from ..quant.config import QuantConfig
 from . import gpt2 as gpt2_mod
 from . import llama as llama_mod
+from . import neox as neox_mod
 from . import opt as opt_mod
 from . import t5 as t5_mod
 
@@ -35,6 +36,7 @@ class ModelBundle:
 _FAMILIES = {
     "gpt2": (gpt2_mod, "GPT2Config"),
     "llama": (llama_mod, "LlamaConfig"),
+    "neox": (neox_mod, "NeoXConfig"),
     "opt": (opt_mod, "OPTConfig"),
     "t5": (t5_mod, "T5Config"),
 }

@@ -71,6 +71,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_gpt2(cfg_json, tensors, dtype, overrides)
     if family == "llama":
         return _load_llama(cfg_json, tensors, dtype, overrides)
+    if family == "neox":
+        return _load_neox(cfg_json, tensors, dtype, overrides)
     if family == "opt":
         return _load_opt(cfg_json, tensors, dtype, overrides)
     if family == "t5":
@@ -232,6 +234,65 @@ def _load_opt(cfg_json, tensors, dtype, overrides):
                 "out_proj": lin(pre + "self_attn.out_proj"),
                 "fc1": lin(pre + "fc1"),
                 "fc2": lin(pre + "fc2"),
+            }
+        )
+    return cfg, params
+
+
+def _load_neox(cfg_json, tensors, dtype, overrides):
+    """GPT-NeoX / Pythia (HF ``GPTNeoXForCausalLM``).
+
+    The fused ``query_key_value`` weight stays in HF's per-head q|k|v
+    packing (models/neox.py slices it at runtime); torch Linear weights are
+    [out, in], transposed into our [in, out] matmul layout.
+    """
+    from .neox import NeoXConfig
+
+    cfg = NeoXConfig(
+        vocab_size=cfg_json["vocab_size"],
+        hidden_size=cfg_json["hidden_size"],
+        num_hidden_layers=cfg_json["num_hidden_layers"],
+        num_attention_heads=cfg_json["num_attention_heads"],
+        intermediate_size=cfg_json["intermediate_size"],
+        max_position_embeddings=cfg_json["max_position_embeddings"],
+        rotary_pct=cfg_json.get("rotary_pct", 0.25),
+        rotary_emb_base=cfg_json.get("rotary_emb_base", 10000.0),
+        layer_norm_eps=cfg_json.get("layer_norm_eps", 1e-5),
+        use_parallel_residual=cfg_json.get("use_parallel_residual", True),
+        dtype=dtype,
+        **overrides,
+    )
+    t = {k.replace("gpt_neox.", ""): v for k, v in tensors.items()}
+
+    params = {
+        "embed_in": _j(t["embed_in.weight"], dtype),
+        "embed_out": _j(t["embed_out.weight"], dtype).T,
+        "final_ln": {
+            "g": _j(t["final_layer_norm.weight"], dtype),
+            "b": _j(t["final_layer_norm.bias"], dtype),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"layers.{i}."
+        params["layers"].append(
+            {
+                "ln_1": {
+                    "g": _j(t[pre + "input_layernorm.weight"], dtype),
+                    "b": _j(t[pre + "input_layernorm.bias"], dtype),
+                },
+                "ln_2": {
+                    "g": _j(t[pre + "post_attention_layernorm.weight"], dtype),
+                    "b": _j(t[pre + "post_attention_layernorm.bias"], dtype),
+                },
+                "qkv_w": _j(t[pre + "attention.query_key_value.weight"], dtype).T,
+                "qkv_b": _j(t[pre + "attention.query_key_value.bias"], dtype),
+                "dense_w": _j(t[pre + "attention.dense.weight"], dtype).T,
+                "dense_b": _j(t[pre + "attention.dense.bias"], dtype),
+                "fc_w": _j(t[pre + "mlp.dense_h_to_4h.weight"], dtype).T,
+                "fc_b": _j(t[pre + "mlp.dense_h_to_4h.bias"], dtype),
+                "proj_w": _j(t[pre + "mlp.dense_4h_to_h.weight"], dtype).T,
+                "proj_b": _j(t[pre + "mlp.dense_4h_to_h.bias"], dtype),
             }
         )
     return cfg, params

@@ -73,6 +73,16 @@ _RULES = {
         (r"wi(_[01])?$", P(None, AXIS_MODEL)),
         (r"wo$", P(AXIS_MODEL, None)),
     ],
+    "neox": [
+        (r"embed_in$", P(None, AXIS_MODEL)),
+        (r"embed_out$", P(None, AXIS_MODEL)),
+        (r"qkv_w$", P(None, AXIS_MODEL)),
+        (r"qkv_b$", P(AXIS_MODEL)),
+        (r"dense_w$", P(AXIS_MODEL, None)),
+        (r"fc_w$", P(None, AXIS_MODEL)),
+        (r"fc_b$", P(AXIS_MODEL)),
+        (r"proj_w$", P(AXIS_MODEL, None)),
+    ],
     "opt": [
         (r"embed$", P(None, AXIS_MODEL)),
         (r"embed_pos$", P(None, AXIS_MODEL)),

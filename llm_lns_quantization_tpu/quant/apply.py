@@ -57,6 +57,7 @@ _PACKABLE = (
     "out_proj/w", "fc1/w", "fc2/w",                        # opt
     "/q", "/k", "/v", "/o", "/cq", "/ck", "/cv", "/co",    # t5 attention
     "/wi", "/wi_0", "/wi_1", "/wo",                        # t5 ffn
+    "qkv_w", "dense_w", "fc_w", "proj_w",                  # neox
 )
 
 # format name -> (frac_bits, man_bits) for LNS packing

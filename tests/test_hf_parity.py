@@ -334,3 +334,28 @@ def test_opt_350m_style_matches_hf(tmp_path_factory, token_batch):
     with torch.no_grad():
         theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_neox_matches_hf(tmp_path_factory, token_batch, parallel):
+    """GPT-NeoX/Pythia: fused per-head QKV, partial rotary (pct=0.25),
+    parallel and sequential residual variants."""
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, rotary_pct=0.25,
+        use_parallel_residual=parallel, hidden_act="gelu",
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    torch.manual_seed(7)
+    model = transformers.GPTNeoXForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("neox")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="neox", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.cfg.use_parallel_residual == parallel
+    assert bundle.cfg.rotary_ndims == 2
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
