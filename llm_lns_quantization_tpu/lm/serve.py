@@ -1,0 +1,196 @@
+"""Continuous-batching greedy decode engine (slot-based serving loop).
+
+BASELINE.json config #3 ("Llama-2-7B ... continuous batching, 1 host") asks
+for the serving pattern the reference never had (its generation path batches
+whole request groups lock-step, reference huggingface.py:1993-2057): a fixed
+pool of decode *slots* over one shared KV cache, where finished sequences
+free their slot immediately and queued prompts are admitted mid-flight —
+keeping the (weight-HBM-bound) decode step at full batch occupancy instead
+of waiting for the slowest sequence of a static batch.
+
+Mechanics (all shapes static, two jit programs total):
+
+* one shared cache of ``[slots, heads, max_len, head_dim]`` per layer
+  (plain bf16, INT8 or FP8 via ``kv_quant``);
+* **admission**: a prompt is prefilled with a batch-1 forward on a fresh
+  single-slot cache (padded to a power-of-2 length bucket), then scattered
+  into its slot of the shared cache — prefill compute is proportional to the
+  prompt, not to the pool;
+* **step**: one fused forward over all slots with *per-row* cache offsets
+  (models/layers.py update_kv_cache accepts an index vector) and a
+  per-slot validity mask, so slots at different depths decode together;
+  inactive slots compute but write only to masked positions;
+* the host loop admits/evicts between steps and stops sequences on stop ids
+  or per-request token budgets.
+"""
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.apply import ActQuantizer
+from ..quant.config import QuantConfig
+
+_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, cap: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return min(b, cap)
+    return cap
+
+
+class ContinuousBatcher:
+    """Greedy continuous-batching decoder over a ``ModelBundle``."""
+
+    def __init__(
+        self,
+        bundle,
+        quant: Optional[QuantConfig] = None,
+        slots: int = 4,
+        max_len: int = 256,
+    ):
+        assert not bundle.is_seq2seq, "continuous batching serves causal LMs"
+        self.bundle = bundle
+        self.cfg = bundle.cfg
+        self.quant = quant or QuantConfig()
+        self.actq = ActQuantizer(self.quant)
+        self.slots = slots
+        self.max_len = max_len
+
+        self._step = jax.jit(self._step_impl)
+        self._prefills = {}  # padded len -> jitted prefill
+
+    # -- jitted programs -------------------------------------------------
+
+    def _step_impl(self, params, cache, lengths, valid, cur_toks, active):
+        rows = jnp.arange(self.slots)
+        valid = valid.at[rows, lengths].set(valid[rows, lengths] | active)
+        logits, cache = self.bundle.forward(
+            params,
+            self.cfg,
+            cur_toks[:, None],
+            self.actq,
+            cache=cache,
+            cache_index=lengths,
+            attn_mask=valid,
+            positions=lengths[:, None],
+        )
+        next_toks = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        lengths = lengths + active.astype(jnp.int32)
+        return cache, lengths, valid, next_toks
+
+    def _prefill_fn(self, padded: int):
+        if padded not in self._prefills:
+
+            def prefill(params, tokens, true_len):
+                cache1 = self.bundle.init_cache(
+                    self.cfg, 1, self.max_len,
+                    kv_quant=self.quant.kv_cache or False,
+                )
+                logits, cache1 = self.bundle.forward(
+                    params,
+                    self.cfg,
+                    tokens,
+                    self.actq,
+                    cache=cache1,
+                    cache_index=0,
+                )
+                first = jnp.argmax(logits[0, true_len - 1, :]).astype(jnp.int32)
+                return cache1, first
+
+            self._prefills[padded] = jax.jit(prefill)
+        return self._prefills[padded]
+
+    @staticmethod
+    def _scatter_slot(big, small, slot):
+        """Write the batch-1 prefill cache into row ``slot`` of the pool."""
+
+        def upd(b, s):
+            return jax.lax.dynamic_update_slice(
+                b, s.astype(b.dtype), (slot,) + (0,) * (b.ndim - 1)
+            )
+
+        return jax.tree_util.tree_map(upd, big, small)
+
+    # -- host loop -------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+        stop_ids: Sequence[int] = (),
+    ) -> List[List[int]]:
+        """Greedy continuations for every prompt, in request order.
+
+        Prompts are admitted into free slots as they open up; the number of
+        in-flight sequences is capped by ``slots`` but throughput does not
+        wait for a whole static batch to finish.
+        """
+        S, L = self.slots, self.max_len
+        params = self.bundle.params
+        stop = set(int(t) for t in stop_ids)
+
+        cache = self.bundle.init_cache(
+            self.cfg, S, L, kv_quant=self.quant.kv_cache or False
+        )
+        lengths = jnp.zeros((S,), jnp.int32)
+        valid = jnp.zeros((S, L), bool)
+
+        pending = list(range(len(prompts)))
+        outputs: List[List[int]] = [[] for _ in prompts]
+        slot_req = [-1] * S          # request id per slot (-1 = free)
+        slot_budget = np.zeros(S, int)
+        cur = np.zeros(S, np.int32)  # token to feed next step per slot
+        active = np.zeros(S, bool)
+
+        while pending or active.any():
+            # admission: fill free slots from the queue
+            while pending and not active.all():
+                rid = pending.pop(0)
+                s = int(np.flatnonzero(~active)[0])
+                ids = list(prompts[rid])[-(L - max_new_tokens - 1):]
+                padded = _bucket(len(ids), L)
+                toks = np.zeros((1, padded), np.int32)
+                toks[0, : len(ids)] = ids
+                cache1, first = self._prefill_fn(padded)(
+                    params, jnp.asarray(toks), len(ids)
+                )
+                cache = self._scatter_slot(cache, cache1, s)
+                lengths = lengths.at[s].set(len(ids))
+                row = jnp.zeros((L,), bool).at[: len(ids)].set(True)
+                valid = valid.at[s].set(row)
+                slot_req[s] = rid
+                slot_budget[s] = max_new_tokens
+                cur[s] = int(first)
+                active[s] = True
+
+            # one decode step over the whole pool
+            cache, lengths, valid, nxt = self._step(
+                params, cache, lengths, valid,
+                jnp.asarray(cur), jnp.asarray(active),
+            )
+            nxt_host = np.asarray(jax.device_get(nxt))
+            new_len = np.asarray(jax.device_get(lengths))
+
+            for s in range(S):
+                if not active[s]:
+                    continue
+                tok = int(cur[s])
+                outputs[slot_req[s]].append(tok)
+                slot_budget[s] -= 1
+                if (
+                    tok in stop
+                    or slot_budget[s] <= 0
+                    or new_len[s] >= L - 1
+                ):
+                    active[s] = False
+                    slot_req[s] = -1
+                else:
+                    cur[s] = nxt_host[s]
+
+        return outputs

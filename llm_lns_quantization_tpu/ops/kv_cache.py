@@ -35,11 +35,23 @@ def kv_dequantize(q: QuantKV, dtype=jnp.bfloat16) -> jax.Array:
     return (q.codes.astype(jnp.float32) * q.scale).astype(dtype)
 
 
+def _dus(buf: jax.Array, new: jax.Array, index) -> jax.Array:
+    """dynamic_update_slice of [B, H, T, D] into [B, H, S, D] at ``index`` —
+    a scalar (all rows share one write offset: the eval decode loop) or a
+    per-row [B] vector (each slot has its own offset: continuous batching,
+    lm/serve.py)."""
+    if getattr(index, "ndim", 0):
+        return jax.vmap(
+            lambda b, n, i: jax.lax.dynamic_update_slice(b, n, (0, i, 0))
+        )(buf, new, index)
+    return jax.lax.dynamic_update_slice(buf, new, (0, 0, index, 0))
+
+
 def kv_update(cache: QuantKV, new: jax.Array, index) -> QuantKV:
     """Write new [B, H, T, D] positions into the quantized cache at index."""
     q = kv_quantize(new)
-    codes = jax.lax.dynamic_update_slice(cache.codes, q.codes, (0, 0, index, 0))
-    scale = jax.lax.dynamic_update_slice(cache.scale, q.scale, (0, 0, index, 0))
+    codes = _dus(cache.codes, q.codes, index)
+    scale = _dus(cache.scale, q.scale, index)
     return QuantKV(codes=codes, scale=scale)
 
 
@@ -65,7 +77,7 @@ class FP8KV(NamedTuple):
 
 def fp8_update(cache: "FP8KV", new: jax.Array, index) -> "FP8KV":
     q = new.astype(jnp.float8_e4m3fn)
-    return FP8KV(jax.lax.dynamic_update_slice(cache.codes, q, (0, 0, index, 0)))
+    return FP8KV(_dus(cache.codes, q, index))
 
 
 def fp8_dequantize(cache: "FP8KV", dtype=jnp.bfloat16) -> jax.Array:

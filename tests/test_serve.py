@@ -1,0 +1,82 @@
+"""Continuous-batching serving engine (lm/serve.py).
+
+The invariant: with greedy decoding, continuous batching is *semantically
+invisible* — every request's continuation must equal the one produced by a
+naive full-context argmax loop on the same model, no matter how requests are
+packed into slots, admitted mid-flight, or evicted.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llm_lns_quantization_tpu.lm.serve import ContinuousBatcher
+from llm_lns_quantization_tpu.models import build_model
+from llm_lns_quantization_tpu.quant import QuantConfig
+
+
+def _naive_greedy(bundle, prompt, n, stop_ids=()):
+    """Reference continuation: full re-forward per token, no KV cache."""
+    ids = list(prompt)
+    out = []
+    for _ in range(n):
+        logits = bundle.forward(
+            bundle.params, bundle.cfg, jnp.asarray([ids], jnp.int32)
+        )
+        tok = int(jnp.argmax(logits[0, -1, :]))
+        out.append(tok)
+        if tok in stop_ids:
+            break
+        ids.append(tok)
+    return out
+
+
+@pytest.mark.parametrize("family", ["gpt2", "llama"])
+def test_continuous_batching_matches_naive_greedy(family):
+    bundle = build_model(family=family, preset="tiny", seed=0,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    # more prompts than slots, varied lengths -> staggered admission
+    prompts = [list(rng.integers(1, 200, n)) for n in (5, 11, 3, 17, 8, 2)]
+    cb = ContinuousBatcher(bundle, slots=3, max_len=64)
+    outs = cb.generate(prompts, max_new_tokens=6)
+    for p, got in zip(prompts, outs):
+        want = _naive_greedy(bundle, p, 6)
+        assert got == want, (p, got, want)
+
+
+def test_continuous_batching_stop_ids_and_quant_cache():
+    bundle = build_model(family="gpt2", preset="tiny", seed=1,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [list(rng.integers(1, 200, n)) for n in (4, 9, 6, 12)]
+
+    plain = ContinuousBatcher(bundle, slots=2, max_len=64)
+    ref = plain.generate(prompts, max_new_tokens=8)
+
+    # a stop id truncates the continuation at (and including) the stop token
+    sid = ref[0][2] if len(ref[0]) > 2 else ref[0][-1]
+    stopped = plain.generate(prompts, max_new_tokens=8, stop_ids=(sid,))
+    for r, s in zip(ref, stopped):
+        if sid in r:
+            k = r.index(sid)
+            assert s == r[: k + 1]
+        else:
+            assert s == r
+
+    # INT8 KV cache: same engine mechanics, mild quantization noise allowed —
+    # continuations may diverge after some steps, but the first token (pure
+    # prefill argmax through the quantized cache read) must be finite/valid
+    q = ContinuousBatcher(
+        bundle, slots=2, max_len=64, quant=QuantConfig(kv_cache="int8")
+    )
+    qout = q.generate(prompts, max_new_tokens=4)
+    assert all(len(o) == 4 for o in qout)
+
+
+def test_continuous_batching_rejects_seq2seq():
+    bundle = build_model(family="t5", preset="tiny", dtype=jnp.float32)
+    with pytest.raises(AssertionError):
+        ContinuousBatcher(bundle)
