@@ -71,6 +71,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_gpt2(cfg_json, tensors, dtype, overrides)
     if family == "llama":
         return _load_llama(cfg_json, tensors, dtype, overrides)
+    if family == "gptj":
+        return _load_gptj(cfg_json, tensors, dtype, overrides)
     if family == "neox":
         return _load_neox(cfg_json, tensors, dtype, overrides)
     if family == "opt":
@@ -234,6 +236,63 @@ def _load_opt(cfg_json, tensors, dtype, overrides):
                 "out_proj": lin(pre + "self_attn.out_proj"),
                 "fc1": lin(pre + "fc1"),
                 "fc2": lin(pre + "fc2"),
+            }
+        )
+    return cfg, params
+
+
+def _load_gptj(cfg_json, tensors, dtype, overrides):
+    """GPT-J (HF ``GPTJForCausalLM``): bias-free q/k/v/out projections, one
+    shared ln_1 per block, biased lm_head; torch Linear weights transposed
+    into our [in, out] layout."""
+    from .gptj import GPTJConfig
+
+    cfg = GPTJConfig(
+        vocab_size=cfg_json["vocab_size"],
+        n_embd=cfg_json["n_embd"],
+        n_layer=cfg_json["n_layer"],
+        n_head=cfg_json["n_head"],
+        n_inner=cfg_json.get("n_inner"),
+        rotary_dim=cfg_json.get("rotary_dim") or cfg_json["n_embd"] // cfg_json["n_head"],
+        n_positions=cfg_json["n_positions"],
+        layer_norm_epsilon=cfg_json.get("layer_norm_epsilon", 1e-5),
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+
+    params = {
+        "wte": _j(t["wte.weight"], dtype),
+        "lm_head": {
+            "w": _j(t["lm_head.weight"], dtype).T,
+            "b": _j(t["lm_head.bias"], dtype),
+        },
+        "ln_f": {
+            "g": _j(t["ln_f.weight"], dtype),
+            "b": _j(t["ln_f.bias"], dtype),
+        },
+        "h": [],
+    }
+    for i in range(cfg.n_layer):
+        pre = f"h.{i}."
+        params["h"].append(
+            {
+                "ln_1": {
+                    "g": _j(t[pre + "ln_1.weight"], dtype),
+                    "b": _j(t[pre + "ln_1.bias"], dtype),
+                },
+                "q_proj": _j(t[pre + "attn.q_proj.weight"], dtype).T,
+                "k_proj": _j(t[pre + "attn.k_proj.weight"], dtype).T,
+                "v_proj": _j(t[pre + "attn.v_proj.weight"], dtype).T,
+                "out_proj": _j(t[pre + "attn.out_proj.weight"], dtype).T,
+                "fc_in": {
+                    "w": _j(t[pre + "mlp.fc_in.weight"], dtype).T,
+                    "b": _j(t[pre + "mlp.fc_in.bias"], dtype),
+                },
+                "fc_out": {
+                    "w": _j(t[pre + "mlp.fc_out.weight"], dtype).T,
+                    "b": _j(t[pre + "mlp.fc_out.bias"], dtype),
+                },
             }
         )
     return cfg, params

@@ -73,6 +73,16 @@ _RULES = {
         (r"wi(_[01])?$", P(None, AXIS_MODEL)),
         (r"wo$", P(AXIS_MODEL, None)),
     ],
+    "gptj": [
+        (r"wte$", P(None, AXIS_MODEL)),
+        (r"lm_head/w$", P(None, AXIS_MODEL)),
+        (r"lm_head/b$", P(AXIS_MODEL)),
+        (r"[qkv]_proj$", P(None, AXIS_MODEL)),
+        (r"out_proj$", P(AXIS_MODEL, None)),
+        (r"fc_in/w$", P(None, AXIS_MODEL)),
+        (r"fc_in/b$", P(AXIS_MODEL)),
+        (r"fc_out/w$", P(AXIS_MODEL, None)),
+    ],
     "neox": [
         (r"embed_in$", P(None, AXIS_MODEL)),
         (r"embed_out$", P(None, AXIS_MODEL)),

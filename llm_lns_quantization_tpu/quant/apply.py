@@ -58,6 +58,7 @@ _PACKABLE = (
     "/q", "/k", "/v", "/o", "/cq", "/ck", "/cv", "/co",    # t5 attention
     "/wi", "/wi_0", "/wi_1", "/wo",                        # t5 ffn
     "qkv_w", "dense_w", "fc_w", "proj_w",                  # neox
+    "out_proj", "fc_in/w", "fc_out/w",                     # gptj
 )
 
 # format name -> (frac_bits, man_bits) for LNS packing

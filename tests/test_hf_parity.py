@@ -359,3 +359,23 @@ def test_neox_matches_hf(tmp_path_factory, token_batch, parallel):
     with torch.no_grad():
         theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs)
+
+
+def test_gptj_matches_hf(tmp_path_factory, token_batch):
+    """GPT-J: interleaved (rotate-every-two) partial rotary, one shared
+    ln_1 feeding parallel attention+MLP, biased lm_head."""
+    cfg = transformers.GPTJConfig(
+        vocab_size=256, n_embd=32, n_layer=2, n_head=4, rotary_dim=4,
+        n_positions=64, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(11)
+    model = transformers.GPTJForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("gptj")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="gptj", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.cfg.rotary_dim == 4
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
