@@ -38,9 +38,9 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     quantized weight (ops.packing.LNSWeight / Int8Weight) — the latter routes
     through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
-    from ..ops.packing import Int8Weight, LNS4Weight, LNSWeight
+    from ..ops.packing import Int8Weight, LNS4Weight, LNSWeight, MXWeight
 
-    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight)):
+    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -56,6 +56,12 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         elif isinstance(w, LNS4Weight):
             y2 = qmm.lns4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype
+            )
+        elif isinstance(w, MXWeight):
+            y2 = qmm.mx_matmul(
+                x2.astype(jnp.bfloat16), w.codes, w.bscale,
+                exp_bits=w.exp_bits, man_bits=w.man_bits,
+                block_size=w.block_size, out_dtype=x.dtype,
             )
         elif actq.config.acts in _INT8_ACT_FORMATS:
             # int8-family activation format + packed int8 weights = the true

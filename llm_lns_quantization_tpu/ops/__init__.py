@@ -1,17 +1,20 @@
 """Pallas TPU kernels and quantized-storage formats (the real-quant tier)."""
 
 from .kv_cache import QuantKV, init_quant_cache, kv_dequantize, kv_quantize, kv_update
-from .matmul import int8_matmul, lns4_matmul, lns_matmul, w8a8_matmul
+from .matmul import int8_matmul, lns4_matmul, lns_matmul, mx_matmul, w8a8_matmul
 from .packing import (
     Int8Weight,
     LNS4Weight,
     LNSWeight,
+    MXWeight,
     pack_int8,
     pack_lns,
     pack_lns4,
+    pack_mx,
     unpack_int8,
     unpack_lns,
     unpack_lns4,
+    unpack_mx,
 )
 
 __all__ = [
@@ -27,6 +30,10 @@ __all__ = [
     "Int8Weight",
     "LNS4Weight",
     "LNSWeight",
+    "MXWeight",
+    "mx_matmul",
+    "pack_mx",
+    "unpack_mx",
     "pack_int8",
     "pack_lns",
     "pack_lns4",

@@ -173,3 +173,107 @@ def unpack_lns4(q: LNS4Weight, dtype=jnp.bfloat16) -> jax.Array:
     mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
     val = jnp.where((nib & 0x8) != 0, -mag, mag)
     return val.astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class MXWeight:
+    """MX block floating-point weights: fp8-style element codes + one f32
+    scale per (K-block, column).
+
+    Element byte: sign(1) | biased exponent (exp_bits) | mantissa (man_bits).
+    The represented value is ``(1 + m/2^man) * 2^(e - bias) * bscale`` with
+    ``bscale = round(max|block|) / 2^threshold`` — exactly the grid of
+    quant.formats.mx_block_quant (reference huggingface.py:472-619), except
+    that the single lowest binade of the scaled range (values down-clamped
+    to ``2^-threshold``, i.e. ~2^(2*threshold) below the block max) is
+    merged one binade up so the exponent fits ``exp_bits`` bits. Blocks run
+    along K (the contraction dim), matching the reference's row-axis
+    blocking of activations.
+    """
+
+    def __init__(self, codes, bscale, exp_bits: int, man_bits: int,
+                 block_size: int):
+        self.codes = codes      # uint8 [K, N]
+        self.bscale = bscale    # f32 [K/block, N]
+        self.exp_bits = exp_bits
+        self.man_bits = man_bits
+        self.block_size = block_size
+
+    @property
+    def shape(self):
+        return self.codes.shape
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("codes"), self.codes),
+            (jax.tree_util.GetAttrKey("bscale"), self.bscale),
+        ), (self.exp_bits, self.man_bits, self.block_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def pack_mx(w: jax.Array, block_size: int = 16, exp_bits: int = 5,
+            man_bits: int = 2) -> MXWeight:
+    """Quantize [K, N] onto the reference MX grid and pack element codes.
+
+    K must be a multiple of ``block_size`` (true for every transformer
+    projection at the sizes the kernels target).
+    """
+    K, N = w.shape
+    assert K % block_size == 0, (K, block_size)
+    threshold = 2 ** (exp_bits - 1)
+    up = float(2**threshold)
+    down = float(2.0**-threshold)
+    bias = threshold - 1  # exponent stored in [0, 2^exp_bits - 1], e >= -bias
+
+    w = w.astype(jnp.float32)
+    xb = w.reshape(K // block_size, block_size, N)
+    max_vals = jnp.round(jnp.max(jnp.abs(xb), axis=1, keepdims=True))
+    max_vals = jnp.where(max_vals == 0, 1.0, max_vals)
+
+    scaled = jnp.clip(jnp.abs(xb) * (up / max_vals), down, up)
+    e = jnp.floor(jnp.log2(scaled)).astype(jnp.int32)
+    m = jnp.round((scaled / jnp.exp2(e.astype(jnp.float32)) - 1.0)
+                  * float(2**man_bits)).astype(jnp.int32)
+    # m may round up to 2^man (next binade); renormalize
+    roll = m >= 2**man_bits
+    e = jnp.where(roll, e + 1, e)
+    m = jnp.where(roll, 0, m)
+    # merge the lowest binade up so e fits exp_bits (see class docstring)
+    m = jnp.where(e < -bias, 0, m)
+    e = jnp.clip(e, -bias, threshold)
+
+    sign = (xb < 0).astype(jnp.uint8)
+    code = (
+        (sign << 7)
+        | (((e + bias).astype(jnp.uint8) & ((1 << exp_bits) - 1)) << man_bits)
+        | (m.astype(jnp.uint8) & ((1 << man_bits) - 1))
+    )
+    return MXWeight(
+        codes=code.reshape(K, N).astype(jnp.uint8),
+        bscale=(max_vals[:, 0, :] / up).astype(jnp.float32),
+        exp_bits=exp_bits,
+        man_bits=man_bits,
+        block_size=block_size,
+    )
+
+
+def unpack_mx(q: MXWeight, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference (XLA) dequant — the Pallas kernel fuses this into the matmul."""
+    bias = 2 ** (q.exp_bits - 1) - 1
+    u = q.codes.astype(jnp.int32)
+    m = u & ((1 << q.man_bits) - 1)
+    e = ((u >> q.man_bits) & ((1 << q.exp_bits) - 1)) - bias
+    mag = (1.0 + m.astype(jnp.float32) / float(2**q.man_bits)) * jnp.exp2(
+        e.astype(jnp.float32)
+    )
+    val = jnp.where((u & 0x80) != 0, -mag, mag)
+    K, N = q.codes.shape
+    scale = jnp.repeat(q.bscale, q.block_size, axis=0)
+    return (val * scale).astype(dtype)

@@ -127,13 +127,24 @@ def param_partition_specs(params, family: str, model_axis_size: int = 1):
         # — match the rule on the wrapper's path, then place the spec on the
         # inner array (ops/packing.py LNSWeight / Int8Weight / LNS4Weight).
         packed_kind = None
-        for kind in ("codes", "scale", "packed"):
+        for kind in ("codes", "scale", "packed", "bscale"):
             if name.endswith("/" + kind):
                 packed_kind = kind
                 name = name[: -len(kind) - 1]
                 break
         for pat, spec in rules:
             if pat.search(name):
+                if packed_kind == "bscale":
+                    # MX block scales [K/block, N]: same layout as the weight
+                    dims = list(tuple(spec) + (None,) * (2 - len(tuple(spec))))
+                    dims = [
+                        None
+                        if (d is not None
+                            and leaf.shape[i] % model_axis_size != 0)
+                        else d
+                        for i, d in enumerate(dims[:2])
+                    ]
+                    return P(*dims)
                 if packed_kind == "scale":
                     # per-output-column scale [N]: shard iff the weight's
                     # output dim (spec dim 1) is sharded

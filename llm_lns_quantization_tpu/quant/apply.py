@@ -64,6 +64,12 @@ _PACKABLE = (
 # format name -> (frac_bits, man_bits) for LNS packing
 _LNS_PACK = {"lns8": (3, 4), "lns4": (1, 2)}
 _INT8_PACK = ("w8a8", "zeroquant", "vsquant", "int8", "llm_int8")
+# format name -> (block_size, exp_bits, man_bits) for MX packing
+_MX_PACK = {
+    "mx": (16, 5, 2),
+    "mx16_e5m2": (16, 5, 2),
+    "mx32_e4m3": (32, 4, 3),
+}
 
 
 def quantize_weights(params, config: QuantConfig):
@@ -99,6 +105,14 @@ def quantize_weights(params, config: QuantConfig):
             pack = lambda w: pack_lns(w, frac_bits=f, man_bits=m)  # noqa: E731
         elif config.weights in _INT8_PACK:
             pack = pack_int8
+        elif config.weights in _MX_PACK:
+            from ..ops.packing import pack_mx
+
+            bs, e, m = _MX_PACK[config.weights]
+            # K must divide the block; small/odd layers fall back to fake
+            pack = lambda w: (  # noqa: E731
+                pack_mx(w, bs, e, m) if w.shape[0] % bs == 0 else fn(w)
+            )
 
     def leaf_fn(path, leaf):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)

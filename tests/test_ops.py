@@ -372,3 +372,55 @@ def test_w8a8_model_path_dispatch(monkeypatch):
     close = np.isclose(np.asarray(out_true), np.asarray(out_compress),
                        rtol=0.05, atol=0.02)
     assert close.mean() > 0.995, close.mean()
+
+
+def test_mx_pack_matches_fake_quant():
+    """pack_mx -> unpack_mx reproduces formats.mx_block_quant exactly (both
+    reference configs: block 16 E5M2 and block 32 E4M3)."""
+    from llm_lns_quantization_tpu.ops.packing import pack_mx, unpack_mx
+
+    for bs, e, m in [(16, 5, 2), (32, 4, 3)]:
+        w = rand((64, 48), seed=21, scale=3.0)
+        q = pack_mx(jnp.asarray(w), bs, e, m)
+        deq = np.asarray(unpack_mx(q, dtype=jnp.float32))
+        ref = np.asarray(formats.mx_block_quant(
+            jnp.asarray(w), block_size=bs, exp_bits=e, man_bits=m))
+        np.testing.assert_allclose(deq, ref, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("K", [256, 8192])
+def test_mx_matmul_interpret(K):
+    """Dequant-fused MX kernel == XLA dequant matmul (resident + k-tiled)."""
+    from llm_lns_quantization_tpu.ops.packing import pack_mx, unpack_mx
+
+    w = rand((K, 128), seed=22, scale=0.05)
+    q = pack_mx(jnp.asarray(w))
+    x = jnp.asarray(rand((32, K), seed=23, scale=0.5), jnp.bfloat16)
+    got = np.asarray(qmm.mx_matmul(x, q.codes, q.bscale, out_dtype=jnp.float32))
+    want = np.asarray(jnp.dot(
+        x.astype(jnp.float32), unpack_mx(q, jnp.float32),
+        preferred_element_type=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_mx_pallas_model_path():
+    """w:mx;pallas packs matmul weights as MXWeight and the model forward
+    tracks the fake-quant tier closely."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import MXWeight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
+    fake = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig(weights="mx"), dtype=jnp.float32)
+    real = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig.parse("w:mx;pallas"),
+                       dtype=jnp.float32)
+    leaves = jax.tree_util.tree_leaves(
+        real.params, is_leaf=lambda x: isinstance(x, MXWeight))
+    assert any(isinstance(l, MXWeight) for l in leaves)
+    a = real.forward(real.params, real.cfg, tokens)
+    b = fake.forward(fake.params, fake.cfg, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-2, atol=5e-2)

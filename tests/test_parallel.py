@@ -309,3 +309,30 @@ def test_sharded_packed_forward_compiles_local_kernels():
     assert not any(
         "u8[" in l for l in txt.splitlines() if "all-gather" in l
     )
+
+
+@requires_multidevice
+def test_tp_mx_sharded_matches_dense():
+    """MX kernel under custom_partitioning: column- and row-parallel shards
+    (codes and block scales sharded together) match the unsharded kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_mx
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(5)
+    M, K, N = 16, 128, 256  # K/16 = 8 divisible by model axis 4
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    q = pack_mx(w)
+    ref = np.asarray(qmm.mx_matmul(x, q.codes, q.bscale, out_dtype=jnp.float32))
+
+    fn = lambda a, c, s: tp.mx_matmul(a, c, s, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec in [P(None, "model"), P("model", None)]:
+        c = jax.device_put(q.codes, NamedSharding(mesh, wspec))
+        s = jax.device_put(q.bscale, NamedSharding(mesh, wspec))
+        out = jax.jit(fn)(xs, c, s)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
