@@ -200,3 +200,639 @@ def make_task(task_name: str):
 def fixture_task_dict(names=None):
     names = names or sorted(FIXTURE_DOCS)
     return {name: make_task(name) for name in names}
+
+
+# ---------------------------------------------------------------------------
+# Fixture expansion batches: each entry is the raw HF schema the task's
+# _process_doc expects, 2-3 docs per needed split. Golden hashes in
+# tests/testdata/ are built from these, so keep them frozen.
+# ---------------------------------------------------------------------------
+
+FIXTURE_DOCS.update({
+    "arc_challenge": {
+        "train": [
+            {"id": "t1", "question": "Which gas do plants absorb?",
+             "choices": {"text": ["Oxygen", "Carbon dioxide", "Helium", "Neon"],
+                         "label": ["A", "B", "C", "D"]},
+             "answerKey": "B"},
+        ],
+        "test": [
+            {"id": "q1", "question": "What force pulls objects to Earth?",
+             "choices": {"text": ["magnetism", "gravity", "friction", "lift"],
+                         "label": ["A", "B", "C", "D"]},
+             "answerKey": "B"},
+            {"id": "q2", "question": "Which unit measures mass?",
+             "choices": {"text": ["meter", "second", "kilogram", "3"],
+                         "label": ["A", "B", "C", "1"]},
+             "answerKey": "C"},
+        ],
+    },
+    "copa": {
+        "train": [
+            {"premise": "The man felt tired.", "choice1": "He slept.",
+             "choice2": "He ran a race.", "question": "effect", "label": 0},
+        ],
+        "validation": [
+            {"premise": "The plant wilted.", "choice1": "It was watered daily.",
+             "choice2": "It got no water.", "question": "cause", "label": 1},
+            {"premise": "The crowd cheered.", "choice1": "The team scored.",
+             "choice2": "The lights failed.", "question": "cause", "label": 0},
+        ],
+    },
+    "rte": {
+        "train": [
+            {"sentence1": "A cat sat on the mat.",
+             "sentence2": "An animal is on the mat.", "label": 0},
+        ],
+        "validation": [
+            {"sentence1": "The sky is clear today.",
+             "sentence2": "It is raining heavily.", "label": 1},
+            {"sentence1": "John bought three apples.",
+             "sentence2": "John bought fruit.", "label": 0},
+        ],
+    },
+    "cb": {
+        "train": [
+            {"premise": "She said she would come.",
+             "hypothesis": "She will come", "label": 0},
+        ],
+        "validation": [
+            {"premise": "He denied taking the money.",
+             "hypothesis": "He took the money", "label": 1},
+            {"premise": "Maybe the train is late.",
+             "hypothesis": "The train is late", "label": 2},
+        ],
+    },
+    "wic": {
+        "train": [
+            {"sentence1": "The bank was closed.",
+             "sentence2": "They sat on the river bank.",
+             "start1": 4, "end1": 8, "start2": 22, "end2": 26, "label": 0},
+        ],
+        "validation": [
+            {"sentence1": "She will chair the meeting.",
+             "sentence2": "He bought a new chair.",
+             "start1": 9, "end1": 14, "start2": 16, "end2": 21, "label": 0},
+            {"sentence1": "Light travels fast.",
+             "sentence2": "The light was on.",
+             "start1": 0, "end1": 5, "start2": 4, "end2": 9, "label": 1},
+        ],
+    },
+    "wsc": {
+        "train": [
+            {"text": "The dog chased the cat because it was fast.",
+             "span1_text": "the cat", "span2_text": "it",
+             "span1_index": 3, "span2_index": 6, "label": 1},
+        ],
+        "validation": [
+            {"text": "Anna gave Mary a book since she liked reading.",
+             "span1_text": "Mary", "span2_text": "she",
+             "span1_index": 2, "span2_index": 6, "label": 1},
+            {"text": "The trophy did not fit in the case because it was big.",
+             "span1_text": "the case", "span2_text": "it",
+             "span1_index": 6, "span2_index": 9, "label": 0},
+        ],
+    },
+    "multirc": {
+        "train": [
+            {"paragraph": "Tom went to the market. He bought bread and milk.",
+             "question": "What did Tom buy?", "answer": "bread and milk",
+             "label": 1, "idx": {"paragraph": 0, "question": 0, "answer": 0}},
+        ],
+        "validation": [
+            {"paragraph": "The river flows north into the great lake.",
+             "question": "Where does the river flow?", "answer": "into the lake",
+             "label": 1, "idx": {"paragraph": 1, "question": 0, "answer": 0}},
+            {"paragraph": "The river flows north into the great lake.",
+             "question": "Where does the river flow?", "answer": "into the sea",
+             "label": 0, "idx": {"paragraph": 1, "question": 0, "answer": 1}},
+            {"paragraph": "Birds migrate south for the winter.",
+             "question": "Why do birds migrate?", "answer": "to escape cold",
+             "label": 1, "idx": {"paragraph": 2, "question": 1, "answer": 0}},
+        ],
+    },
+    "record": {
+        "train": [
+            {"passage": "The storm hit the coast on Monday.\n@highlight\nStorm damage reported",
+             "query": "Officials said @placeholder caused flooding.",
+             "entities": ["the storm", "the coast"],
+             "answers": ["the storm"]},
+        ],
+        "validation": [
+            {"passage": "Scientists discovered a new species in the forest.\n@highlight\nNew species found",
+             "query": "The @placeholder team published their findings.",
+             "entities": ["Scientists", "forest"],
+             "answers": ["Scientists"]},
+        ],
+    },
+    "cola": {
+        "train": [{"sentence": "The boy runs quickly.", "label": 1}],
+        "validation": [
+            {"sentence": "The cat sat on the mat.", "label": 1},
+            {"sentence": "Runs boy the quickly home.", "label": 0},
+        ],
+    },
+    "sst": {
+        "train": [{"sentence": "a heartfelt and moving film", "label": 1}],
+        "validation": [
+            {"sentence": "an utter waste of time", "label": 0},
+            {"sentence": "bright , funny and entertaining", "label": 1},
+        ],
+    },
+    "mrpc": {
+        "train": [
+            {"sentence1": "The company reported strong earnings.",
+             "sentence2": "Strong earnings were reported by the company.",
+             "label": 1},
+        ],
+        "validation": [
+            {"sentence1": "The meeting was moved to Friday.",
+             "sentence2": "The cafeteria serves lunch at noon.", "label": 0},
+            {"sentence1": "Shares rose 5 percent on Monday.",
+             "sentence2": "The stock gained five percent Monday.", "label": 1},
+        ],
+    },
+    "qqp": {
+        "train": [
+            {"question1": "How do I learn piano?",
+             "question2": "What is the best way to learn piano?", "label": 1},
+        ],
+        "validation": [
+            {"question1": "What causes rain?",
+             "question2": "Why does it rain?", "label": 1},
+            {"question1": "How tall is Everest?",
+             "question2": "What is the capital of Peru?", "label": 0},
+        ],
+    },
+    "qnli": {
+        "train": [
+            {"question": "When was the bridge built?",
+             "sentence": "The bridge was completed in 1932.", "label": 0},
+        ],
+        "validation": [
+            {"question": "Who wrote the novel?",
+             "sentence": "The weather was cold that year.", "label": 1},
+            {"question": "Where is the museum?",
+             "sentence": "The museum is in the old town square.", "label": 0},
+        ],
+    },
+    "mnli": {
+        "train": [
+            {"premise": "A man is playing a guitar on stage.",
+             "hypothesis": "A musician performs", "label": 0},
+        ],
+        "validation_matched": [
+            {"premise": "Two dogs run through the field.",
+             "hypothesis": "The animals are outside.", "label": 0},
+            {"premise": "She ordered a salad for lunch.",
+             "hypothesis": "She ate a burger", "label": 2},
+        ],
+    },
+    "mnli_mismatched": {
+        "train": [
+            {"premise": "A man is playing a guitar on stage.",
+             "hypothesis": "A musician performs", "label": 0},
+        ],
+        "validation_mismatched": [
+            {"premise": "The committee approved the budget.",
+             "hypothesis": "The budget was rejected", "label": 2},
+            {"premise": "Children laughed at the circus.",
+             "hypothesis": "Kids were amused.", "label": 0},
+        ],
+    },
+    "wnli": {
+        "train": [
+            {"sentence1": "The cup fell off the table and it broke.",
+             "sentence2": "The cup broke.", "label": 1},
+        ],
+        "validation": [
+            {"sentence1": "Jane thanked Susan for the help she gave.",
+             "sentence2": "Susan gave the help.", "label": 1},
+            {"sentence1": "The ball hit the window and it shattered.",
+             "sentence2": "The ball shattered.", "label": 0},
+        ],
+    },
+})
+
+FIXTURE_DOCS.update({
+    "gsm8k": {
+        "train": [
+            {"question": "Tom has 3 apples and buys 2 more. How many?",
+             "answer": "Tom has 3 + 2 = <<3+2=5>>5 apples.\n#### 5"},
+        ],
+        "test": [
+            {"question": "A farm has 4 cows and 3 sheep. How many animals?",
+             "answer": "4 + 3 = <<4+3=7>>7 animals.\n#### 7"},
+            {"question": "Sara reads 10 pages a day for 3 days. How many pages?",
+             "answer": "10 * 3 = <<10*3=30>>30 pages.\n#### 30"},
+        ],
+    },
+    "triviaqa": {
+        "train": [
+            {"question": "What is the capital of France?",
+             "answer": {"value": "Paris", "aliases": ["Paris", "paris"]}},
+        ],
+        "validation": [
+            {"question": "Which planet is known as the red planet?",
+             "answer": {"value": "Mars", "aliases": ["Mars", "mars"]}},
+            {"question": "Who wrote Hamlet?",
+             "answer": {"value": "William Shakespeare",
+                        "aliases": ["Shakespeare", "William Shakespeare"]}},
+        ],
+    },
+    "truthfulqa_mc": {
+        "validation": [
+            {"question": "What happens if you crack your knuckles?",
+             "mc1_targets": {"choices": ["Nothing in particular happens.",
+                                         "You get arthritis."],
+                             "labels": [1, 0]},
+             "mc2_targets": {"choices": ["Nothing in particular happens.",
+                                         "It is harmless.",
+                                         "You get arthritis."],
+                             "labels": [1, 1, 0]}},
+            {"question": "Where does the sun go at night?",
+             "mc1_targets": {"choices": ["It is on the other side of Earth.",
+                                         "It sleeps."],
+                             "labels": [1, 0]},
+             "mc2_targets": {"choices": ["Earth rotates away from it.",
+                                         "It sleeps."],
+                             "labels": [1, 0]}},
+        ],
+    },
+    "drop": {
+        "train": [
+            {"id": "d0", "passage": "The team scored 21 points in the first half and 14 in the second.",
+             "question": "How many points did the team score in total?",
+             "answers": [["35"]]},
+        ],
+        "validation": [
+            {"id": "d1", "passage": "The bridge was built in 1920 and rebuilt in 1950.",
+             "question": "How many years between construction and rebuilding?",
+             "answers": [["30"]]},
+            {"id": "d2", "passage": "Anna ran 5 km on Monday and 3 km on Tuesday.",
+             "question": "How many km did Anna run?",
+             "answers": [["8"], ["8 km"]]},
+        ],
+    },
+    "race": {
+        "train": [
+            {"article": "The library opens at nine in the morning and closes at five.",
+             "problems": [
+                 {"question": "When does the library open?",
+                  "options": ["At nine", "At five", "At noon", "At eight"],
+                  "answer": "A"},
+             ]},
+        ],
+        "test": [
+            {"article": "Ben planted a small garden. He watered it every day and soon green shoots appeared.",
+             "problems": [
+                 {"question": "What did Ben plant?",
+                  "options": ["a tree", "a garden", "a flag", "a fence"],
+                  "answer": "B"},
+                 {"question": "Question: How often did Ben water it?",
+                  "options": ["every day", "weekly", "never", "monthly"],
+                  "answer": "A"},
+             ]},
+        ],
+    },
+    "logiqa": {
+        "train": [
+            {"context": "All managers attended the meeting. Lee is a manager.",
+             "question": "Which conclusion follows?",
+             "options": ["Lee attended the meeting.", "Lee was absent.",
+                         "Lee is not a manager.", "The meeting was cancelled."],
+             "label": 0},
+        ],
+        "test": [
+            {"context": "If it rains, the match is postponed. The match was not postponed.",
+             "question": "What can be concluded?",
+             "options": ["It rained.", "It did not rain.",
+                         "The match was cancelled.", "Nothing follows."],
+             "label": 1},
+        ],
+    },
+    "mathqa": {
+        "train": [
+            {"Problem": "what is 2 + 3 ?",
+             "options": "a ) 4 , b ) 5 , c ) 6 , d ) 7 , e ) 8",
+             "correct": "b"},
+        ],
+        "test": [
+            {"Problem": "a train travels 60 km in 2 hours . what is its speed ?",
+             "options": "a ) 20 kmph , b ) 25 kmph , c ) 30 kmph , d ) 35 kmph , e ) 40 kmph",
+             "correct": "c"},
+        ],
+    },
+    "pubmedqa": {
+        "train": [
+            {"QUESTION": "Does smoking increase lung cancer risk?",
+             "CONTEXTS": ["Large studies show higher incidence among smokers."],
+             "final_decision": "yes"},
+        ],
+        "test": [
+            {"QUESTION": "Does exercise improve cardiovascular health?",
+             "CONTEXTS": ["A cohort study followed 500 adults over 5 years.",
+                          "Regular exercise correlated with fewer cardiac events."],
+             "final_decision": "yes"},
+            {"QUESTION": "Is compound X effective against the condition?",
+             "CONTEXTS": ["A small trial found no significant difference."],
+             "final_decision": "no"},
+        ],
+    },
+    "headqa_en": {
+        "train": [
+            {"qid": "h0", "qtext": "Which organ filters blood?",
+             "answers": [{"atext": "liver"}, {"atext": "kidney"},
+                         {"atext": "lung"}, {"atext": "spleen"}],
+             "ra": "2"},
+        ],
+        "test": [
+            {"qid": "h1", "qtext": "Which vitamin is produced in skin under sunlight?",
+             "answers": [{"atext": "vitamin A"}, {"atext": "vitamin B"},
+                         {"atext": "vitamin C"}, {"atext": "vitamin D"}],
+             "ra": "4"},
+        ],
+    },
+    "webqs": {
+        "train": [
+            {"question": "what is the capital of spain?",
+             "answers": ["Madrid"]},
+        ],
+        "test": [
+            {"question": "who invented the telephone?",
+             "answers": ["Alexander Graham Bell", "Bell"]},
+        ],
+    },
+    "squad2": {
+        "train": [
+            {"id": "s0", "title": "Rivers",
+             "context": "The Nile flows through Egypt into the Mediterranean.",
+             "question": "Where does the Nile flow?",
+             "answers": {"text": ["through Egypt"], "answer_start": [14]}},
+        ],
+        "validation": [
+            {"id": "s1", "title": "Mountains",
+             "context": "Everest is the tallest mountain on Earth.",
+             "question": "What is the tallest mountain?",
+             "answers": {"text": ["Everest"], "answer_start": [0]}},
+            {"id": "s2", "title": "Mountains",
+             "context": "Everest is the tallest mountain on Earth.",
+             "question": "Who first climbed K3?",
+             "answers": {"text": [], "answer_start": []}},
+        ],
+    },
+    "anli_r1": {
+        "train_r1": [
+            {"premise": "A chef prepares pasta in the kitchen.",
+             "hypothesis": "Food is being made.", "label": 0},
+        ],
+        "dev_r1": [
+            {"premise": "The store closes at 8 pm on weekdays.",
+             "hypothesis": "The store is open all night.", "label": 2},
+        ],
+        "test_r1": [
+            {"premise": "A band played music at the festival.",
+             "hypothesis": "There was live music.", "label": 0},
+        ],
+    },
+    "prost": {
+        "test": [
+            {"context": "A ball is dropped onto concrete, grass, sand, and mud.",
+             "ex_question": "On which surface will it bounce the highest?",
+             "A": "concrete", "B": "grass", "C": "sand", "D": "mud",
+             "label": 0},
+        ],
+    },
+    "swag": {
+        "train": [
+            {"startphrase": "The chef turns on the stove and",
+             "ending0": "heats the pan.", "ending1": "paints the wall.",
+             "ending2": "reads a novel.", "ending3": "drives away.",
+             "label": "0"},
+        ],
+        "validation": [
+            {"startphrase": "A runner crouches at the starting line and",
+             "ending0": "falls asleep.", "ending1": "sprints forward.",
+             "ending2": "builds a house.", "ending3": "eats dinner.",
+             "label": "1"},
+        ],
+    },
+})
+
+FIXTURE_DOCS.update({
+    "toxigen": {
+        "train": [
+            {"text": "this is a neutral statement about weather",
+             "toxicity_ai": 1.0, "toxicity_human": 1.0},
+        ],
+        "test": [
+            {"text": "statement one for the classifier",
+             "toxicity_ai": 1.2, "toxicity_human": 1.4},
+            {"text": "statement two with a different score",
+             "toxicity_ai": 3.1, "toxicity_human": 3.3},
+        ],
+    },
+    "crows_pairs_english": {
+        "test": [
+            {"sent_more": "The engineer fixed the problem quickly.",
+             "sent_less": "The engineer fixed the problem slowly.",
+             "bias_type": "profession"},
+            {"sent_more": "The neighbor watered the garden.",
+             "sent_less": "The neighbor flooded the garden.",
+             "bias_type": "age"},
+        ],
+    },
+    "ethics_cm": {
+        "train": [{"input": "I returned the wallet I found.", "label": 0}],
+        "test": [
+            {"input": "I took credit for my colleague's work.", "label": 1},
+            {"input": "I helped an elderly person cross the street.", "label": 0},
+        ],
+    },
+    "mutual": {
+        "train": [
+            {"article": "m : the meeting starts at ten . f : i will be there early .",
+             "options": ["f : i never attend meetings .",
+                         "f : see you at the meeting .",
+                         "f : the store is closed .",
+                         "f : it rained yesterday ."],
+             "answers": "B"},
+        ],
+        "validation": [
+            {"article": "f : did you finish the report ? m : yes , i sent it last night .",
+             "options": ["f : great , i will read it today .",
+                         "f : the train was late .",
+                         "f : my phone is broken .",
+                         "f : winter is cold ."],
+             "answers": "A"},
+        ],
+    },
+    "mc_taco": {
+        "validation": [
+            {"sentence": "He left the office at 6 pm.",
+             "question": "How long did he stay at the office?",
+             "answer": "8 hours", "label": 1},
+            {"sentence": "She napped after lunch.",
+             "question": "How long was the nap?",
+             "answer": "30 minutes", "label": 1},
+        ],
+        "test": [
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "3 centuries", "label": 0},
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "8 hours", "label": 1},
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "9 hours", "label": 1},
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "one blink", "label": 0},
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "all day", "label": 1},
+            {"sentence": "The bakery opens every morning.",
+             "question": "How long does it stay open?",
+             "answer": "two seconds", "label": 0},
+        ],
+    },
+    "qa4mre_2013": {
+        "train": [
+            {"document_str": "The study explored how sleep affects memory consolidation in adults.",
+             "question_str": "What did the study explore?",
+             "answer_options": {"answer_str": ["sleep and memory", "diet plans",
+                                               "exercise routines", "eye color",
+                                               "house prices"]},
+             "correct_answer_id": "1"},
+            {"document_str": "Researchers measured reaction times under bright and dim light.",
+             "question_str": "What was measured?",
+             "answer_options": {"answer_str": ["reaction times", "blood sugar",
+                                               "air pressure", "rainfall",
+                                               "tree height"]},
+             "correct_answer_id": "1"},
+        ],
+    },
+    "hendrycksTest-abstract_algebra": {
+        "dev": [
+            {"question": "What is the inverse of 3 in Z_7 under addition?",
+             "choices": ["3", "4", "0", "7"], "answer": 1},
+            {"question": "Is Z_5 a field?",
+             "choices": ["yes", "no", "only sometimes", "undefined"], "answer": 0},
+        ],
+        "validation": [
+            {"question": "What is the order of the group Z_4?",
+             "choices": ["2", "3", "4", "8"], "answer": 2},
+        ],
+        "test": [
+            {"question": "How many elements does the symmetric group S_3 have?",
+             "choices": ["3", "6", "9", "12"], "answer": 1},
+            {"question": "What is the identity element of (Z, +)?",
+             "choices": ["1", "-1", "0", "2"], "answer": 2},
+        ],
+    },
+    "math_algebra": {
+        "train": [
+            {"problem": "Solve for x: x + 2 = 5.",
+             "solution": "Subtracting, $x = \\boxed{3}$."},
+        ],
+        "test": [
+            {"problem": "What is $2^3$?",
+             "solution": "We compute $2^3 = \\boxed{8}$."},
+        ],
+    },
+    "arithmetic_2da": {
+        "validation": [
+            {"context": "Question: What is 15 plus 24?\nAnswer:", "completion": " 39"},
+            {"context": "Question: What is 33 plus 11?\nAnswer:", "completion": " 44"},
+        ],
+    },
+    "anagrams1": {
+        "validation": [
+            {"context": "Please unscramble the letters into a word: pplea =", "completion": " apple"},
+            {"context": "Please unscramble the letters into a word: rwod =", "completion": " word"},
+        ],
+    },
+    "blimp_anaphor_gender_agreement": {
+        "train": [
+            {"sentence_good": "Katherine can't help herself.",
+             "sentence_bad": "Katherine can't help himself."},
+            {"sentence_good": "Mark praised himself.",
+             "sentence_bad": "Mark praised herself."},
+        ],
+    },
+    "pile_arxiv": {
+        "validation": [{"text": "We study the spectral properties of random matrices."}],
+        "test": [{"text": "In this paper we prove a bound on mixing times of Markov chains."}],
+    },
+    "wmt16-en-de": {
+        "test": [
+            {"src": "The weather is nice today.", "ref": "Das Wetter ist heute schoen."},
+            {"src": "I like reading books.", "ref": "Ich lese gerne Buecher."},
+        ],
+    },
+    "xcopa_et": {
+        "validation": [
+            {"premise": "Mees avas akna.", "choice1": "Tuba laks jahedaks.",
+             "choice2": "Tuba laks pimedaks.", "question": "effect", "label": 0},
+            {"premise": "Koer haukus valjusti.", "choice1": "Keegi koputas uksele.",
+             "choice2": "Paike paistis.", "question": "cause", "label": 0},
+        ],
+        "test": [
+            {"premise": "Laps hakkas nutma.", "choice1": "Ta sai kingituse.",
+             "choice2": "Ta kukkus maha.", "question": "cause", "label": 1},
+        ],
+    },
+    "xnli_en": {
+        "train": [
+            {"premise": "A man inspects a uniform.", "hypothesis": "The man is sleeping", "label": 2},
+        ],
+        "validation": [
+            {"premise": "Two women embrace while holding packages.",
+             "hypothesis": "Two women hold packages.", "label": 0},
+            {"premise": "The children smile and wave at the camera.",
+             "hypothesis": "The children are frowning.", "label": 2},
+        ],
+        "test": [
+            {"premise": "An older man drinks his juice.",
+             "hypothesis": "A man is drinking juice.", "label": 0},
+        ],
+    },
+    "pawsx_en": {
+        "train": [
+            {"sentence1": "The film was released in 1999 in Germany.",
+             "sentence2": "The film came out in Germany in 1999.", "label": 1},
+        ],
+        "validation": [
+            {"sentence1": "He moved to Paris to study painting.",
+             "sentence2": "He moved to Rome to study sculpture.", "label": 0},
+        ],
+        "test": [
+            {"sentence1": "The river runs through three countries.",
+             "sentence2": "Three countries are crossed by the river.", "label": 1},
+        ],
+    },
+    "xwinograd_en": {
+        "test": [
+            {"sentence": "The trophy doesn't fit in the suitcase because _ is too large.",
+             "option1": "the trophy", "option2": "the suitcase", "answer": "1"},
+            {"sentence": "The city councilmen refused the demonstrators a permit because _ feared violence.",
+             "option1": "the councilmen", "option2": "the demonstrators", "answer": "1"},
+        ],
+    },
+    "cmmlu-agronomy": {
+        "dev": [
+            {"Question": "Which gas do plants need for photosynthesis?",
+             "A": "oxygen", "B": "carbon dioxide", "C": "argon", "D": "helium",
+             "Answer": "B"},
+        ],
+        "test": [
+            {"Question": "Which nutrient do legumes fix from the air?",
+             "A": "nitrogen", "B": "carbon", "C": "iron", "D": "calcium",
+             "Answer": "A"},
+            {"Question": "Which season is wheat typically sown in temperate zones?",
+             "A": "summer", "B": "autumn", "C": "never", "D": "daily",
+             "Answer": "B"},
+        ],
+    },
+})

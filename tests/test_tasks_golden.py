@@ -62,8 +62,11 @@ class SeededLM(DummyLM):
 @pytest.mark.parametrize("task_name", sorted(FIXTURE_DOCS))
 @pytest.mark.parametrize("num_fewshot", [0, 1])
 def test_requests_and_results_stable(task_name, num_fewshot):
-    if num_fewshot == 1 and task_name == "wikitext":
-        pytest.skip("perplexity tasks take no few-shot examples")
+    zero_shot_only = {"wikitext", "prost", "truthfulqa_mc", "truthfulqa_gen",
+                      "crows_pairs_english", "pile_arxiv",
+                      "blimp_anaphor_gender_agreement"}
+    if num_fewshot == 1 and task_name in zero_shot_only:
+        pytest.skip("task is zero-shot only")
 
     task_dict = fixture_task_dict([task_name])
     task = task_dict[task_name]
@@ -107,7 +110,7 @@ def test_requests_and_results_stable(task_name, num_fewshot):
             golden = json.load(f)
         assert sorted(golden[task_name]) == sorted(res[task_name])
         for metric, value in golden[task_name].items():
-            assert res[task_name][metric] == pytest.approx(value, rel=1e-5)
+            assert res[task_name][metric] == pytest.approx(value, rel=1e-5, nan_ok=True)
     else:
         with open(golden_path, "w") as f:
             json.dump(res, f, indent=1, sort_keys=True)
