@@ -836,3 +836,415 @@ FIXTURE_DOCS.update({
         ],
     },
 })
+
+
+# ---------------------------------------------------------------------------
+# Programmatic fixture generation for homogeneous task families. Content is
+# deterministic (derived from the task name — never Python's salted hash())
+# so golden request hashes stay stable across processes.
+# ---------------------------------------------------------------------------
+
+import zlib as _zlib
+
+
+def _sig(name):
+    return _zlib.crc32(name.encode()) % 1000
+
+
+def _mc_proc(name, i, n_choices=4, answer_prompt="Answer:"):
+    """Processed multiple-choice doc for 'query-passthrough' exam tasks."""
+    keys = ["A", "B", "C", "D", "E"][:n_choices]
+    opts = "".join(
+        f"{k}. option {_sig(name)}-{i}-{j}\n" for j, k in enumerate(keys)
+    )
+    return {
+        "query": f"Sample {name} question {_sig(name)}-{i}?\n{opts}{answer_prompt}",
+        "choices": keys,
+        "gold": (i + _sig(name)) % n_choices,
+    }
+
+
+def _register_family(names, build):
+    for name in names:
+        if name not in FIXTURE_DOCS:
+            FIXTURE_DOCS[name] = build(name)
+
+
+def _family(prefix):
+    return [n for n in task_lib.TASK_REGISTRY if n.startswith(prefix)]
+
+
+# blimp: one "train" split of good/bad sentence pairs
+_register_family(_family("blimp_"), lambda name: {
+    "train": [
+        {"sentence_good": f"The researcher近 verified example {_sig(name)}-{k} carefully.".replace("近", ""),
+         "sentence_bad": f"The researcher verify example {_sig(name)}-{k} carefully."}
+        for k in range(2)
+    ],
+})
+
+# pile subsets: perplexity over raw text
+_register_family(_family("pile_"), lambda name: {
+    "validation": [{"text": f"Validation document for {name} with id {_sig(name)}."}],
+    "test": [{"text": f"Test document for {name} describing topic {_sig(name)} in detail."}],
+})
+
+# MMLU: dev exemplars + validation + test (processed docs)
+_register_family(_family("hendrycksTest-"), lambda name: {
+    "dev": [_mc_proc(name, 10), _mc_proc(name, 11)],
+    "validation": [_mc_proc(name, 20)],
+    "test": [_mc_proc(name, 0), _mc_proc(name, 1)],
+})
+
+# CMMLU: dev exemplars + test (validation maps test)
+_register_family(_family("cmmlu-"), lambda name: {
+    "dev": [_mc_proc(name, 10, answer_prompt="答案：")],
+    "test": [_mc_proc(name, 0, answer_prompt="答案："),
+             _mc_proc(name, 1, answer_prompt="答案：")],
+})
+
+# C-Eval: dev exemplars + val
+_register_family(_family("Ceval-valid-"), lambda name: {
+    "dev": [_mc_proc(name, 10, answer_prompt="答案："),
+            _mc_proc(name, 11, answer_prompt="答案：")],
+    "val": [_mc_proc(name, 0, answer_prompt="答案："),
+            _mc_proc(name, 1, answer_prompt="答案：")],
+})
+
+# csatqa / haerae: Korean MC suites (processed docs, 5 and 4-5 choices)
+_register_family(_family("csatqa_"), lambda name: {
+    "test": [_mc_proc(name, 0, n_choices=5), _mc_proc(name, 1, n_choices=5)],
+})
+_register_family(_family("haerae_"), lambda name: {
+    "test": [_mc_proc(name, 0), _mc_proc(name, 1)],
+})
+
+# XCOPA (premise final-period is stripped by doc_to_text)
+_register_family(_family("xcopa_"), lambda name: {
+    "validation": [
+        {"premise": f"Premise {_sig(name)} alpha.", "choice1": f"choice one {_sig(name)}.",
+         "choice2": f"choice two {_sig(name)}.", "question": "cause", "label": 0},
+        {"premise": f"Premise {_sig(name)} beta.", "choice1": f"first option {_sig(name)}.",
+         "choice2": f"second option {_sig(name)}.", "question": "effect", "label": 1},
+    ],
+    "test": [
+        {"premise": f"Premise {_sig(name)} gamma.", "choice1": f"outcome a {_sig(name)}.",
+         "choice2": f"outcome b {_sig(name)}.", "question": "effect", "label": 0},
+    ],
+})
+
+# XNLI / PAWS-X
+_register_family(_family("xnli_"), lambda name: {
+    "train": [{"premise": f"Train premise {_sig(name)}.",
+               "hypothesis": f"Train hypothesis {_sig(name)}", "label": 0}],
+    "validation": [
+        {"premise": f"Val premise {_sig(name)} one.",
+         "hypothesis": f"Val hypothesis {_sig(name)} one", "label": 0},
+        {"premise": f"Val premise {_sig(name)} two.",
+         "hypothesis": f"Val hypothesis {_sig(name)} two", "label": 2},
+    ],
+    "test": [{"premise": f"Test premise {_sig(name)}.",
+              "hypothesis": f"Test hypothesis {_sig(name)}", "label": 1}],
+})
+_register_family(_family("pawsx_"), lambda name: {
+    "train": [{"sentence1": f"Train sentence {_sig(name)} a.",
+               "sentence2": f"Train sentence {_sig(name)} b.", "label": 1}],
+    "validation": [
+        {"sentence1": f"Val sentence {_sig(name)} a.",
+         "sentence2": f"Val sentence {_sig(name)} b.", "label": 0},
+        {"sentence1": f"Val sentence {_sig(name)} c.",
+         "sentence2": f"Val sentence {_sig(name)} d.", "label": 1},
+    ],
+    "test": [{"sentence1": f"Test sentence {_sig(name)} a.",
+              "sentence2": f"Test sentence {_sig(name)} b.", "label": 1}],
+})
+
+# XWinograd
+_register_family(_family("xwinograd_"), lambda name: {
+    "test": [
+        {"sentence": f"The item {_sig(name)} did not fit the box because _ was too large.",
+         "option1": "the item", "option2": "the box", "answer": "1"},
+        {"sentence": f"The robot {_sig(name)} thanked the maker because _ was grateful.",
+         "option1": "the robot", "option2": "the maker", "answer": "1"},
+    ],
+})
+
+# XStoryCloze / StoryCloze
+def _story_docs(name):
+    return [
+        {"input_sentence_1": f"Ann started project {_sig(name)}.",
+         "input_sentence_2": "She worked on it daily.",
+         "input_sentence_3": "Progress was steady.",
+         "input_sentence_4": "Finally it was ready.",
+         "sentence_quiz1": "She shipped it proudly.",
+         "sentence_quiz2": "She burned it down.",
+         "answer_right_ending": 1},
+        {"input_sentence_1": f"Ben found a coin {_sig(name)}.",
+         "input_sentence_2": "It looked very old.",
+         "input_sentence_3": "He took it to a museum.",
+         "input_sentence_4": "An expert examined it.",
+         "sentence_quiz1": "It was worthless plastic.",
+         "sentence_quiz2": "It was a rare antique.",
+         "answer_right_ending": 2},
+    ]
+
+
+_register_family(_family("xstory_cloze_"), lambda name: {
+    "train": _story_docs(name)[:1],
+    "eval": _story_docs(name),
+})
+_register_family(_family("storycloze_"), lambda name: {
+    "validation": _story_docs(name),
+    "test": _story_docs(name)[:1],
+})
+
+# MGSM: train docs carry the language-specific CoT answer prefix
+def _mgsm_docs(name):
+    cls = task_lib.get_task(name)
+    ans = cls.ANSWER
+    return {
+        "train": [{"question": f"Q {_sig(name)}: 2 + 3 = ?",
+                   "answer": f"{ans} 2 + 3 = 5. 5", "answer_number": 5}],
+        "test": [{"question": f"Q {_sig(name)}: 4 + 4 = ?",
+                  "answer": None, "answer_number": 8}],
+    }
+
+
+_register_family(_family("mgsm_"), _mgsm_docs)
+
+# arithmetic / unscramble: context-completion over a validation split
+_register_family(
+    _family("arithmetic_")
+    + ["anagrams2", "cycle_letters", "random_insertion", "reversed_words"],
+    lambda name: {
+        "validation": [
+            {"context": f"Task {name} example one {_sig(name)} =",
+             "completion": f" result{_sig(name)}"},
+            {"context": f"Task {name} example two {_sig(name)} =",
+             "completion": f" value{_sig(name)}"},
+        ],
+    },
+)
+
+# LAMBADA variants (cloze + multilingual share the {text} schema)
+_register_family(["lambada_standard_cloze"], lambda name: {
+    "validation": [
+        {"text": f"the fixture {_sig(name)} sentence continues with word"},
+        {"text": f"one more fixture {_sig(name)} line finishes with term"},
+    ],
+    "test": [{"text": f"another fixture {_sig(name)} sentence ends with token"}],
+})
+_register_family(
+    ["lambada_openai_cloze"] + _family("lambada_openai_mt_"),
+    lambda name: {
+        "test": [
+            {"text": f"multilingual fixture {_sig(name)} text ends here"},
+            {"text": f"second multilingual fixture {_sig(name)} closes with phrase"},
+        ],
+    },
+)
+
+# MATH subjects (boxed answers)
+_register_family(
+    [n for n in _family("math_") if n != "math_asdiv"],
+    lambda name: {
+        "train": [{"problem": f"Compute {_sig(name)} + 1.",
+                   "solution": f"Adding gives $\\boxed{{{_sig(name) + 1}}}$."}],
+        "test": [{"problem": f"Compute {_sig(name)} + 2.",
+                  "solution": f"Adding gives $\\boxed{{{_sig(name) + 2}}}$."}],
+    },
+)
+
+# Hendrycks ethics (per-subtask schemas)
+_register_family(["ethics_deontology"], lambda name: {
+    "train": [{"scenario": "I promised to water the plants.",
+               "excuse": "So I watered them as agreed.", "label": 1,
+               "group_id": 0}],
+    "test": [{"scenario": "I agreed to review the paper.",
+              "excuse": "So I deleted it unread.", "label": 0, "group_id": 0},
+             {"scenario": "I said I would return the ladder.",
+              "excuse": "So I brought it back today.", "label": 1,
+              "group_id": 0},
+             {"scenario": "I promised to call at noon.",
+              "excuse": "So I called at noon sharp.", "label": 1,
+              "group_id": 0},
+             {"scenario": "I was asked to lock the door.",
+              "excuse": "So I left it wide open.", "label": 0, "group_id": 0},
+             {"scenario": "I offered to carry the bags.",
+              "excuse": "So I carried them upstairs.", "label": 1,
+              "group_id": 0}],
+})
+_register_family(["ethics_justice"], lambda name: {
+    "train": [{"scenario": "I deserve a refund because the item arrived broken.",
+               "label": 1, "group_id": 0}],
+    "test": [{"scenario": "I deserve a prize because my neighbor won one.",
+              "label": 0, "group_id": 0},
+             {"scenario": "I deserve the raise because I exceeded every target.",
+              "label": 1, "group_id": 0},
+             {"scenario": "I deserve a seat because I bought a ticket.",
+              "label": 1, "group_id": 0},
+             {"scenario": "I deserve the crown because I woke up early.",
+              "label": 0, "group_id": 0},
+             {"scenario": "I deserve a refund because the product never shipped.",
+              "label": 1, "group_id": 0}],
+})
+_register_family(["ethics_virtue"], lambda name: {
+    "train": [{"scenario": "She shared her lunch with the new student.",
+               "trait": "generous", "label": 1, "group_id": 0}],
+    "test": [{"scenario": "He mocked the beginner's first attempt.",
+              "trait": "kind", "label": 0, "group_id": 0},
+             {"scenario": "They kept practicing until midnight.",
+              "trait": "diligent", "label": 1, "group_id": 0},
+             {"scenario": "She admitted the mistake at once.",
+              "trait": "honest", "label": 1, "group_id": 0},
+             {"scenario": "He saved a seat for his friend.",
+              "trait": "cruel", "label": 0, "group_id": 0},
+             {"scenario": "They donated the surplus to the shelter.",
+              "trait": "generous", "label": 1, "group_id": 0}],
+})
+_register_family(["ethics_utilitarianism"], lambda name: {
+    "train": [{"scenarios": ["I fixed the leak before it flooded.",
+                             "I ignored the leak until it flooded."],
+               "label": 1}],
+    "test": [{"scenarios": ["The picnic was sunny and relaxed.",
+                            "The picnic was rained out."], "label": 1},
+             {"scenarios": ["I missed the bus and was late.",
+                            "I caught the early bus."], "label": 0}],
+})
+
+# CrowS-Pairs bias-type slices: docs must match the task's bias_type filter
+_CROWS_BIAS = {
+    "age": "age", "autre": "autre", "disability": "disability",
+    "gender": "gender", "nationality": "nationality",
+    "physical_appearance": "physical-appearance", "race_color": "race-color",
+    "religion": "religion", "sexual_orientation": "sexual-orientation",
+    "socioeconomic": "socioeconomic",
+}
+
+
+def _crows_docs(name):
+    suffix = name.replace("crows_pairs_english", "").replace(
+        "crows_pairs_french", "").lstrip("_")
+    bias = _CROWS_BIAS.get(suffix, "age") if suffix else "age"
+    return {
+        "test": [
+            {"sent_more": f"Fixture sentence A for {name}.",
+             "sent_less": f"Fixture sentence B for {name}.",
+             "bias_type": bias},
+            {"sent_more": f"Fixture sentence C for {name}.",
+             "sent_less": f"Fixture sentence D for {name}.",
+             "bias_type": bias},
+        ],
+    }
+
+
+_register_family(_family("crows_pairs_"), _crows_docs)
+
+# QA4MRE years (processed docs carry query + source + choices + gold)
+_register_family(_family("qa4mre_"), lambda name: {
+    "train": [
+        {"source": f"Reading passage {_sig(name)} about a study.",
+         "query": f"What is passage {_sig(name)} about?",
+         "choices": ["a study", "a recipe", "a song", "a map", "a game"],
+         "gold": 0},
+        {"source": f"Second passage {_sig(name)} about results.",
+         "query": f"What does passage {_sig(name)} report?",
+         "choices": ["results", "weather", "sports", "prices", "news"],
+         "gold": 0},
+    ],
+})
+
+# ANLI rounds 2-3
+for _r in (2, 3):
+    _register_family([f"anli_r{_r}"], lambda name, r=_r: {
+        f"train_r{r}": [{"premise": f"Round {r} train premise.",
+                         "hypothesis": "Something happened.", "label": 0}],
+        f"dev_r{r}": [{"premise": f"Round {r} dev premise.",
+                       "hypothesis": "Nothing happened.", "label": 2}],
+        f"test_r{r}": [{"premise": f"Round {r} test premise.",
+                        "hypothesis": "It happened.", "label": 0}],
+    })
+
+# Translation pairs (sacrebleu-style src/ref docs)
+_register_family(
+    [n for n in task_lib.TASK_REGISTRY
+     if n.startswith(("wmt14", "wmt16", "wmt20", "iwslt17"))],
+    lambda name: {
+        "test": [
+            {"src": f"Source sentence one for {name}.",
+             "ref": f"Reference sentence one for {name}."},
+            {"src": f"Source sentence two for {name}.",
+             "ref": f"Reference sentence two for {name}."},
+        ],
+    },
+)
+
+# CBT (cloze with XXXXX placeholder + 10-way options)
+_register_family(_family("cbt-"), lambda name: {
+    "train": [
+        {"sentences": [f"The fixture story {_sig(name)} began quietly."],
+         "question": "Then the XXXXX appeared at the door.",
+         "options": ["cat", "dog", "girl", "boy", "bird",
+                     "horse", "king", "ship", "tree", "car"],
+         "answer": "cat"},
+        {"sentences": [f"The fixture story {_sig(name)} continued loudly."],
+         "question": "Soon the XXXXX joined the parade.",
+         "options": ["king", "dog", "girl", "boy", "bird",
+                     "horse", "cat", "ship", "tree", "car"],
+         "answer": "king"},
+    ],
+    "validation": [
+        {"sentences": [f"A second story {_sig(name)} unfolded."],
+         "question": "They sailed the XXXXX across the bay.",
+         "options": ["ship", "dog", "girl", "boy", "bird",
+                     "horse", "king", "cat", "tree", "car"],
+         "answer": "ship"},
+    ],
+    "test": [
+        {"sentences": [f"A third story {_sig(name)} ended well."],
+         "question": "The XXXXX galloped over the hill.",
+         "options": ["horse", "dog", "girl", "boy", "bird",
+                     "ship", "king", "cat", "tree", "car"],
+         "answer": "horse"},
+    ],
+})
+
+# nq_open / babi / headqa (Spanish) / mutual_plus / sat
+_register_family(["nq_open"], lambda name: {
+    "train": [{"question": "what is the largest ocean", "answer": ["Pacific Ocean"]}],
+    "validation": [
+        {"question": "who painted the mona lisa", "answer": ["Leonardo da Vinci"]},
+        {"question": "how many continents are there", "answer": ["seven", "7"]},
+    ],
+})
+_register_family(["babi"], lambda name: {
+    "train": [{"passage": "Mary went to the kitchen. ", "question": "Where is Mary? ",
+               "answer": "kitchen"}],
+    "valid": [{"passage": "John took the ball. ", "question": "Who has the ball? ",
+               "answer": "John"}],
+    "test": [{"passage": "Sandra went to the garden. ", "question": "Where is Sandra? ",
+              "answer": "garden"}],
+})
+_register_family(["headqa", "headqa_es"], lambda name: {
+    "train": [{"qid": "e0", "qtext": "Cual organo bombea la sangre?",
+               "answers": [{"atext": "el higado"}, {"atext": "el corazon"},
+                           {"atext": "el pulmon"}, {"atext": "el rinon"}],
+               "ra": "2"}],
+    "test": [{"qid": "e1", "qtext": "Que vitamina produce la piel con el sol?",
+              "answers": [{"atext": "vitamina A"}, {"atext": "vitamina B"},
+                          {"atext": "vitamina C"}, {"atext": "vitamina D"}],
+              "ra": "4"}],
+})
+_register_family(["mutual_plus"], lambda name: FIXTURE_DOCS["mutual"])
+_register_family(["sat"], lambda name: {
+    "validation": [
+        {"source": "fixture", "query": ["ship", "sea"],
+         "choices": ["car is to road", "bird is to nest",
+                     "book is to page", "fish is to bicycle", "sun is to moon"],
+         "gold": 0},
+        {"source": "fixture", "query": ["pen", "paper"],
+         "choices": ["brush is to canvas", "fork is to song",
+                     "lamp is to cloud", "shoe is to cloud", "key is to sky"],
+         "gold": 0},
+    ],
+})

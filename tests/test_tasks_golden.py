@@ -62,10 +62,19 @@ class SeededLM(DummyLM):
 @pytest.mark.parametrize("task_name", sorted(FIXTURE_DOCS))
 @pytest.mark.parametrize("num_fewshot", [0, 1])
 def test_requests_and_results_stable(task_name, num_fewshot):
+    if task_name == "wmt20-en-ja":
+        pytest.skip("ja reference tokenization needs the nagisa package "
+                    "(unavailable offline; reference gates it the same way)")
+    from llm_lns_quantization_tpu.harness.task import PerplexityTask
+
     zero_shot_only = {"wikitext", "prost", "truthfulqa_mc", "truthfulqa_gen",
-                      "crows_pairs_english", "pile_arxiv",
-                      "blimp_anaphor_gender_agreement"}
-    if num_fewshot == 1 and task_name in zero_shot_only:
+                      "cbt-cn", "cbt-ne"}
+    task_cls = type(fixture_task_dict([task_name])[task_name])
+    if num_fewshot == 1 and (
+        task_name in zero_shot_only
+        or task_name.startswith(("crows_pairs_", "blimp_", "pile_"))
+        or issubclass(task_cls, PerplexityTask)
+    ):
         pytest.skip("task is zero-shot only")
 
     task_dict = fixture_task_dict([task_name])
