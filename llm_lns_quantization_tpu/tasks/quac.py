@@ -30,6 +30,9 @@ class QuAC(Task):
         return map(self._process_doc, self.dataset["validation"])
 
     def _process_doc(self, doc):
+        # copy: mutating the source doc would compound the title suffix when
+        # docs are iterated more than once (determinism contract test)
+        doc = dict(doc)
         doc["title"] = doc["title"] + " - " + doc["section_title"]
         return doc
 

@@ -33,6 +33,9 @@ class WinogradSchemaChallenge273(Task):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
+        # copy: the possessive-"'s" normalization is not idempotent, so
+        # mutating the source doc corrupts options on repeated iteration
+        doc = {**doc, "options": list(doc["options"])}
         # the HF wsc273 text isn't partial-evaluation friendly as-is
         doc["text"] = doc["text"].replace("  ", " ")
         doc["options"][0] = self.__normalize_option(doc, doc["options"][0])

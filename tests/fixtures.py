@@ -1248,3 +1248,191 @@ _register_family(["sat"], lambda name: {
          "gold": 0},
     ],
 })
+
+FIXTURE_DOCS.update({
+    "coqa": {
+        "train": [
+            {"story": "Tom had a red kite. He flew it in the park.",
+             "questions": {"input_text": ["What did Tom have?", "Where did he fly it?"]},
+             "answers": {"input_text": ["a red kite", "in the park"]},
+             "additional_answers": {}},
+        ],
+        "validation": [
+            {"story": "Mia baked bread on Sunday. She shared it with her neighbor.",
+             "questions": {"input_text": ["What did Mia bake?", "Who did she share it with?"]},
+             "answers": {"input_text": ["bread", "her neighbor"]},
+             "additional_answers": {}},
+        ],
+    },
+    "ethics_utilitarianism_original": {
+        "train": [
+            {"activity": "I watered the garden before the heatwave.",
+             "baseline": "I let the garden dry out.", "rating": "9"},
+        ],
+        "test": [
+            {"activity": "I helped my friend move apartments.",
+             "baseline": "I cancelled on my friend last minute.", "rating": "8"},
+            {"activity": "I recycled the bottles after the picnic.",
+             "baseline": "I littered after the picnic.", "rating": "7"},
+        ],
+    },
+    "math_asdiv": {
+        "validation": [
+            {"body": "Anna has 3 pencils. She buys 4 more.",
+             "question": " How many pencils does she have?",
+             "answer": "7 (pencils)"},
+            {"body": "A box holds 6 eggs. There are 2 boxes.",
+             "question": " How many eggs are there?",
+             "answer": "12 (eggs)"},
+        ],
+    },
+    "naturalqs": {
+        "train": [
+            {"question": {"text": "when was the telephone invented"},
+             "annotations": {
+                 "long_answer": [{"start_token": 0, "end_token": 6}],
+                 "short_answers": [{"text": ["1876"]}],
+                 "yes_no_answer": ["NONE"],
+             },
+             "document": {"tokens": {
+                 "token": ["The", "telephone", "was", "invented", "in", "1876", "."],
+                 "is_html": [False] * 7,
+             }}},
+        ],
+        "validation": [
+            {"question": {"text": "how many legs does a spider have"},
+             "annotations": {
+                 "long_answer": [{"start_token": 0, "end_token": 5}],
+                 "short_answers": [{"text": ["eight"]}],
+                 "yes_no_answer": ["NONE"],
+             },
+             "document": {"tokens": {
+                 "token": ["Spiders", "have", "eight", "legs", "."],
+                 "is_html": [False] * 5,
+             }}},
+        ],
+    },
+    "qasper": {
+        "train": [
+            {"title": "A Study of Parsing", "abstract": "We study parsers.",
+             "question": "Which corpus do they parse?", "answer": "the news corpus",
+             "answer_type": "free form answer"},
+        ],
+        "validation": [
+            {"title": "Neural Methods", "abstract": "We present a model.",
+             "question": "What dataset is used?", "answer": "the treebank",
+             "answer_type": "free form answer"},
+            {"title": "Neural Methods", "abstract": "We present a model.",
+             "question": "Is the approach supervised?", "answer": False,
+             "answer_type": "bool"},
+        ],
+    },
+    "quac": {
+        "train": [
+            {"title": "Ada Lovelace", "section_title": "Early life",
+             "paragraph": "Ada Lovelace was born in London in 1815.",
+             "question": "Where was she born?", "answer": "London"},
+        ],
+        "validation": [
+            {"title": "Grace Hopper", "section_title": "Career",
+             "paragraph": "Grace Hopper developed the first compiler.",
+             "question": "What did she develop?", "answer": "the first compiler"},
+        ],
+    },
+    "wsc273": {
+        "test": [
+            {"text": "The city councilmen refused the demonstrators a permit because they feared violence.",
+             "pronoun": "they", "pronoun_loc": 63,
+             "options": ["The city councilmen", "the demonstrators"],
+             "label": 0, "quote": "they feared violence", "quote_loc": 63},
+            {"text": "The trophy doesn't fit into the brown suitcase because it is too small.",
+             "pronoun": "it", "pronoun_loc": 55,
+             "options": ["the trophy", "the suitcase"],
+             "label": 1, "quote": "it is too small", "quote_loc": 55},
+        ],
+    },
+})
+
+# SCROLLS: raw docs are {"id", "pid", "input": "question\n\ntext", "outputs"}
+def _scrolls_doc(name, i, question, text, outputs):
+    return {"id": f"{name}-{i}", "pid": f"{name}-{i}-0",
+            "input": f"{question}\n\n{text}", "outputs": outputs}
+
+
+FIXTURE_DOCS.update({
+    "scrolls_contractnli": {
+        "train": [_scrolls_doc("cnli", 0, "The receiving party may share the data.",
+                               "Confidential data must not be shared with third parties.",
+                               ["Contradiction"])],
+        "validation": [
+            _scrolls_doc("cnli", 1, "The agreement lasts two years.",
+                         "This agreement remains in force for two years.",
+                         ["Entailment"]),
+            _scrolls_doc("cnli", 2, "The parties may disclose the terms publicly.",
+                         "All terms are strictly confidential.", ["Contradiction"]),
+        ],
+    },
+    "scrolls_govreport": {
+        "train": [_scrolls_doc("gov", 0, "Summarize the report.",
+                               "The agency reviewed its spending and found savings.",
+                               ["The agency found savings in its spending review."])],
+        "validation": [
+            _scrolls_doc("gov", 1, "Summarize the report.",
+                         "The committee examined infrastructure needs across regions.",
+                         ["The committee reviewed regional infrastructure needs."]),
+        ],
+    },
+    "scrolls_qmsum": {
+        "train": [_scrolls_doc("qms", 0, "What did the team decide about the launch?",
+                               "Meeting transcript: the team agreed to delay the launch.",
+                               ["They decided to delay the launch."])],
+        "validation": [
+            _scrolls_doc("qms", 1, "What was said about the budget?",
+                         "Meeting transcript: the budget will stay flat this year.",
+                         ["The budget will remain flat."]),
+        ],
+    },
+    "scrolls_summscreenfd": {
+        "train": [_scrolls_doc("ssfd", 0, "Summarize the episode.",
+                               "Scene: the detectives finally identify the pattern.",
+                               ["The detectives identify the pattern."])],
+        "validation": [
+            _scrolls_doc("ssfd", 1, "Summarize the episode.",
+                         "Scene: an old friend returns with a warning.",
+                         ["An old friend returns to deliver a warning."]),
+        ],
+    },
+    "scrolls_narrativeqa": {
+        "train": [_scrolls_doc("nqa", 0, "Who found the map?",
+                               "In the story, the gardener found the old map.",
+                               ["the gardener"])],
+        "validation": [
+            _scrolls_doc("nqa", 1, "Where was the letter hidden?",
+                         "The letter had been hidden beneath the floorboards.",
+                         ["beneath the floorboards"]),
+        ],
+    },
+    "scrolls_qasper": {
+        "train": [_scrolls_doc("sqas", 0, "Is the method supervised?",
+                               "We train with labeled data in all experiments.",
+                               ["Yes"])],
+        "validation": [
+            _scrolls_doc("sqas", 1, "What language is studied?",
+                         "All experiments use English corpora.", ["English"]),
+        ],
+    },
+    "scrolls_quality": {
+        "train": [_scrolls_doc(
+            "qual", 0, "What did the crew repair?",
+            "(A) the engine (B) the sail (C) the radio (D) the hull\n\n"
+            "The crew spent the night repairing the engine before sailing on.",
+            ["the engine"])],
+        "validation": [
+            _scrolls_doc(
+                "qual", 1, "What was served at the feast?",
+                "(A) bread (B) fish (C) stew (D) fruit\n\n"
+                "At the feast the cooks served a rich stew to everyone.",
+                ["stew"]),
+        ],
+    },
+})

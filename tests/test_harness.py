@@ -126,6 +126,8 @@ def test_evaluate_task_with_dummy_lm(task_name, tmp_path):
     LM twice; results must be identical (proves cache correctness)."""
     if task_name == "wmt20-en-ja":
         pytest.skip("ja tokenization needs the nagisa package (offline gate)")
+    if task_name in ("quac", "naturalqs"):
+        pytest.skip("prompt-only stub tasks (reference parity)")
     task_dict = fixture_task_dict([task_name])
     lm = CachingLM(SeededLM(), str(tmp_path / "cache.db"))
 

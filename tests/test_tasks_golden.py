@@ -65,10 +65,14 @@ def test_requests_and_results_stable(task_name, num_fewshot):
     if task_name == "wmt20-en-ja":
         pytest.skip("ja reference tokenization needs the nagisa package "
                     "(unavailable offline; reference gates it the same way)")
+    if task_name in ("quac", "naturalqs"):
+        pytest.skip("construct_requests raises NotImplementedError — the "
+                    "reference ships these tasks as prompt-only stubs "
+                    "(doc_to_text/doc_to_target for write_out), same here")
     from llm_lns_quantization_tpu.harness.task import PerplexityTask
 
     zero_shot_only = {"wikitext", "prost", "truthfulqa_mc", "truthfulqa_gen",
-                      "cbt-cn", "cbt-ne"}
+                      "cbt-cn", "cbt-ne", "math_asdiv"}
     task_cls = type(fixture_task_dict([task_name])[task_name])
     if num_fewshot == 1 and (
         task_name in zero_shot_only
@@ -127,6 +131,8 @@ def test_requests_and_results_stable(task_name, num_fewshot):
 
 @pytest.mark.parametrize("task_name", sorted(FIXTURE_DOCS))
 def test_task_contract(task_name):
+    if task_name in ("quac", "naturalqs"):
+        pytest.skip("aggregation unimplemented (reference parity)")
     """Task interface contract (reference tests/test_tasks.py:7-50):
     has_*_docs sanity, aggregation/higher_is_better key agreement, VERSION,
     and determinism of doc iteration + request construction."""
@@ -156,3 +162,54 @@ def test_task_contract(task_name):
         if not isinstance(r1, (list, tuple)):
             r1, r2 = [r1], [r2]
         assert [r.args for r in r1] == [r.args for r in r2]
+
+
+BIGBENCH_TASKS = sorted(
+    n for n in __import__(
+        "llm_lns_quantization_tpu.tasks", fromlist=["TASK_REGISTRY"]
+    ).TASK_REGISTRY if n.startswith("bigbench_")
+)
+
+
+@pytest.mark.parametrize("task_name", BIGBENCH_TASKS)
+def test_bigbench_requests_and_results_stable(task_name):
+    """BIG-bench tasks carry their data in bundled JSON resources (no
+    fixtures needed); golden-hash the first docs' requests and the limited
+    evaluate() results, like the fixture tasks."""
+    from llm_lns_quantization_tpu.tasks import get_task
+
+    task = get_task(task_name)()
+    docs = list(task.test_docs())[:8]
+    rnd = random.Random()
+    rnd.seed(42)
+    reqs = []
+    for doc in docs:
+        ctx = task.fewshot_context(doc=doc, num_fewshot=0, rnd=rnd)
+        rs = task.construct_requests(doc, ctx)
+        if not isinstance(rs, (list, tuple)):
+            rs = [rs]
+        reqs.append([list(map(str, r.args)) for r in rs])
+    assert_target_hashed(
+        reqs,
+        os.path.join(TESTDATA, f"{task_name}-v{task.VERSION}-fs0-reqs.sha256"),
+    )
+
+    res = evaluate(
+        lm=SeededLM(),
+        task_dict={task_name: get_task(task_name)()},
+        num_fewshot=0,
+        limit=8,
+        bootstrap_iters=10,
+    )["results"]
+    golden_path = os.path.join(TESTDATA, f"{task_name}-v{task.VERSION}-fs0-res.json")
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            golden = json.load(f)
+        assert sorted(golden[task_name]) == sorted(res[task_name])
+        for metric, value in golden[task_name].items():
+            assert res[task_name][metric] == pytest.approx(
+                value, rel=1e-5, nan_ok=True
+            )
+    else:
+        with open(golden_path, "w") as f:
+            json.dump(res, f, indent=1, sort_keys=True)
