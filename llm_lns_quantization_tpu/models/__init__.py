@@ -14,6 +14,7 @@ import jax
 
 from ..quant.apply import ActQuantizer, quantize_weights
 from ..quant.config import QuantConfig
+from . import bloom as bloom_mod
 from . import gpt2 as gpt2_mod
 from . import gptj as gptj_mod
 from . import llama as llama_mod
@@ -35,6 +36,7 @@ class ModelBundle:
 
 
 _FAMILIES = {
+    "bloom": (bloom_mod, "BloomConfig"),
     "gpt2": (gpt2_mod, "GPT2Config"),
     "gptj": (gptj_mod, "GPTJConfig"),
     "llama": (llama_mod, "LlamaConfig"),

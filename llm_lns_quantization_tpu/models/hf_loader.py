@@ -75,6 +75,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_gptj(cfg_json, tensors, dtype, overrides)
     if family == "neox":
         return _load_neox(cfg_json, tensors, dtype, overrides)
+    if family == "bloom":
+        return _load_bloom(cfg_json, tensors, dtype, overrides)
     if family == "opt":
         return _load_opt(cfg_json, tensors, dtype, overrides)
     if family == "t5":
@@ -348,6 +350,67 @@ def _load_neox(cfg_json, tensors, dtype, overrides):
                 "qkv_b": _j(t[pre + "attention.query_key_value.bias"], dtype),
                 "dense_w": _j(t[pre + "attention.dense.weight"], dtype).T,
                 "dense_b": _j(t[pre + "attention.dense.bias"], dtype),
+                "fc_w": _j(t[pre + "mlp.dense_h_to_4h.weight"], dtype).T,
+                "fc_b": _j(t[pre + "mlp.dense_h_to_4h.bias"], dtype),
+                "proj_w": _j(t[pre + "mlp.dense_4h_to_h.weight"], dtype).T,
+                "proj_b": _j(t[pre + "mlp.dense_4h_to_h.bias"], dtype),
+            }
+        )
+    return cfg, params
+
+
+def _load_bloom(cfg_json, tensors, dtype, overrides):
+    """BLOOM (HF ``BloomForCausalLM``).
+
+    The fused ``query_key_value`` weight stays in HF's per-head q|k|v
+    interleave (models/bloom.py reshapes [.., nh, 3, hd] at runtime); the
+    lm_head is tied to ``word_embeddings``. torch Linear weights are
+    [out, in], transposed into our [in, out] matmul layout.
+    """
+    from .bloom import BloomConfig
+
+    cfg = BloomConfig(
+        vocab_size=cfg_json["vocab_size"],
+        hidden_size=cfg_json.get("hidden_size", cfg_json.get("n_embed")),
+        num_hidden_layers=cfg_json.get("num_hidden_layers", cfg_json.get("n_layer")),
+        num_attention_heads=cfg_json.get("num_attention_heads", cfg_json.get("n_head")),
+        layer_norm_epsilon=cfg_json.get("layer_norm_epsilon", 1e-5),
+        apply_residual_connection_post_layernorm=cfg_json.get(
+            "apply_residual_connection_post_layernorm", False
+        ),
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+
+    params = {
+        "embed": _j(t["word_embeddings.weight"], dtype),
+        "embed_ln": {
+            "g": _j(t["word_embeddings_layernorm.weight"], dtype),
+            "b": _j(t["word_embeddings_layernorm.bias"], dtype),
+        },
+        "final_ln": {
+            "g": _j(t["ln_f.weight"], dtype),
+            "b": _j(t["ln_f.bias"], dtype),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"h.{i}."
+        params["layers"].append(
+            {
+                "ln_1": {
+                    "g": _j(t[pre + "input_layernorm.weight"], dtype),
+                    "b": _j(t[pre + "input_layernorm.bias"], dtype),
+                },
+                "ln_2": {
+                    "g": _j(t[pre + "post_attention_layernorm.weight"], dtype),
+                    "b": _j(t[pre + "post_attention_layernorm.bias"], dtype),
+                },
+                "qkv_w": _j(t[pre + "self_attention.query_key_value.weight"], dtype).T,
+                "qkv_b": _j(t[pre + "self_attention.query_key_value.bias"], dtype),
+                "dense_w": _j(t[pre + "self_attention.dense.weight"], dtype).T,
+                "dense_b": _j(t[pre + "self_attention.dense.bias"], dtype),
                 "fc_w": _j(t[pre + "mlp.dense_h_to_4h.weight"], dtype).T,
                 "fc_b": _j(t[pre + "mlp.dense_h_to_4h.bias"], dtype),
                 "proj_w": _j(t[pre + "mlp.dense_4h_to_h.weight"], dtype).T,

@@ -93,6 +93,17 @@ _RULES = {
         (r"fc_b$", P(AXIS_MODEL)),
         (r"proj_w$", P(AXIS_MODEL, None)),
     ],
+    "bloom": [
+        # tied embed/lm_head: hidden dim on the model axis (the tied-head
+        # matmul contracts over it -> psum, same as gpt2's wte)
+        (r"embed$", P(None, AXIS_MODEL)),
+        (r"qkv_w$", P(None, AXIS_MODEL)),
+        (r"qkv_b$", P(AXIS_MODEL)),
+        (r"dense_w$", P(AXIS_MODEL, None)),
+        (r"fc_w$", P(None, AXIS_MODEL)),
+        (r"fc_b$", P(AXIS_MODEL)),
+        (r"proj_w$", P(AXIS_MODEL, None)),
+    ],
     "opt": [
         (r"embed$", P(None, AXIS_MODEL)),
         (r"embed_pos$", P(None, AXIS_MODEL)),

@@ -379,3 +379,42 @@ def test_gptj_matches_hf(tmp_path_factory, token_batch):
     with torch.no_grad():
         theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs)
+
+
+@pytest.mark.parametrize("post_ln_residual", [False, True])
+def test_bloom_matches_hf(tmp_path_factory, token_batch, post_ln_residual):
+    """BLOOM: ALiBi score bias, embedding LayerNorm, per-head-interleaved
+    fused QKV, tied lm_head (reference evaluated BLOOM —
+    lm_eval/models/bloom.csv)."""
+    cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=32, n_layer=2, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0,
+        apply_residual_connection_post_layernorm=post_ln_residual,
+        slow_but_exact=False,
+    )
+    torch.manual_seed(17)
+    model = transformers.BloomForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("bloom")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="bloom", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.cfg.apply_residual_connection_post_layernorm == post_ln_residual
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
+
+
+def test_bloom_alibi_slopes_match_hf():
+    """Slope schedule parity incl. a non-power-of-2 head count."""
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from llm_lns_quantization_tpu.models.bloom import alibi_slopes
+
+    for nh in (4, 8, 12, 16, 6):
+        mask = torch.ones(1, 5)
+        hf = build_alibi_tensor(mask, nh, torch.float32)  # [nh, 1, 5]
+        hf_slopes = hf.reshape(1, nh, 5)[0, :, -1] / 4.0  # key index 4
+        np.testing.assert_allclose(
+            np.asarray(alibi_slopes(nh)), hf_slopes.numpy(), rtol=1e-6
+        )
