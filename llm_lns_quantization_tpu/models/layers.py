@@ -38,9 +38,15 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     quantized weight (ops.packing.LNSWeight / Int8Weight) — the latter routes
     through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
-    from ..ops.packing import Int8Weight, LNS4Weight, LNSWeight, MXWeight
+    from ..ops.packing import (
+        FP8Weight,
+        Int8Weight,
+        LNS4Weight,
+        LNSWeight,
+        MXWeight,
+    )
 
-    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight)):
+    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -56,6 +62,11 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         elif isinstance(w, LNS4Weight):
             y2 = qmm.lns4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype
+            )
+        elif isinstance(w, FP8Weight):
+            y2 = qmm.fp8_matmul(
+                x2.astype(jnp.bfloat16), w.codes, exp_bits=w.exp_bits,
+                man_bits=w.man_bits, e_bias=w.e_bias, out_dtype=x.dtype,
             )
         elif isinstance(w, MXWeight):
             y2 = qmm.mx_matmul(

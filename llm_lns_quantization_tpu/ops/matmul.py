@@ -712,3 +712,139 @@ def mx_matmul(
             transcendentals=0,
         ),
     )(x, codes, bscale)
+
+
+# ---------------------------------------------------------------------------
+# FP8 (custom-float, scale-free) dequant-fused matmul
+# ---------------------------------------------------------------------------
+
+
+def _fp8_decode(u, exp_bits, man_bits, e_bias):
+    """uint8 fp_quant element codes [K, bn] -> bf16 (ops.packing.FP8Weight).
+
+    Same integer bit-assembly as _mx_decode minus the block-scale multiply:
+    sign/exponent/mantissa are placed directly into float32 bit positions.
+    """
+    mm = (1 << man_bits) - 1
+    em = (1 << exp_bits) - 1
+    sb = (u & 0x80) << 24
+    e = ((u >> man_bits) & em) - e_bias + 127
+    mant = (u & mm) << (23 - man_bits)
+    return jax.lax.bitcast_convert_type(
+        (sb | (e << 23) | mant).astype(jnp.int32), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def _fp8_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *,
+                       exp_bits, man_bits, e_bias, out_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        wdec_ref[...] = _fp8_decode(
+            w_ref[...].astype(jnp.int32), exp_bits, man_bits, e_bias
+        )
+
+    o_ref[...] = jnp.dot(
+        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _fp8_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *,
+                              exp_bits, man_bits, e_bias, out_dtype):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _fp8_decode(w_ref[...].astype(jnp.int32), exp_bits, man_bits, e_bias)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "exp_bits", "man_bits", "e_bias", "block_m", "block_n", "out_dtype"))
+def fp8_matmul(
+    x: jax.Array,
+    codes: jax.Array,
+    exp_bits: int = 4,
+    man_bits: int = 3,
+    e_bias: int = 5,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """[M, K] bf16 @ fp8-packed [K, N] -> [M, N] with dequant fused in VMEM.
+
+    Weight HBM traffic: exactly 1 byte per element (no scale side-band) —
+    the cheapest decode of the kernel zoo: two shifts, two masks, one add.
+    """
+    M, K = x.shape
+    K2, N = codes.shape
+    assert K == K2, (x.shape, codes.shape)
+    kernel_args = dict(
+        exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias, out_dtype=out_dtype
+    )
+    if K > _K_RESIDENT_MAX:
+        block_m = min(block_m, M)
+        block_n = min(block_n, N)
+        block_k = 2048
+        grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
+        return pl.pallas_call(
+            functools.partial(_fp8_matmul_ktiled_kernel, **kernel_args),
+            interpret=_interpret(),
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=M * K * 2 + K * N + M * N * 2,
+                transcendentals=0,
+            ),
+        )(x, codes)
+
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
+
+    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+        block_n //= 2
+    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+        block_m //= 2
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    return pl.pallas_call(
+        functools.partial(_fp8_matmul_kernel, **kernel_args),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, codes)

@@ -277,3 +277,97 @@ def unpack_mx(q: MXWeight, dtype=jnp.bfloat16) -> jax.Array:
     K, N = q.codes.shape
     scale = jnp.repeat(q.bscale, q.block_size, axis=0)
     return (val * scale).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class FP8Weight:
+    """Packed custom-float weight: one uint8 code per element, no scales.
+
+    Element byte: sign(1) | stored exponent (exp_bits) | mantissa (man_bits);
+    the represented value is ``(1 + m/2^man_bits) * 2^(e_stored - e_bias)`` —
+    exactly the grid of quant.formats.fp_quant (reference float8 block,
+    huggingface.py:343-470). The reference's active E4M3 variant narrows the
+    clamp range to [10*2^-8, 0.5*2^8], which spans 13 binades — it fits 4
+    exponent bits outright, so packing is bit-faithful. The wide variants
+    (plain E4M3 / E5M2) span 2^exp_bits + 1 binades; as in MXWeight, the
+    single lowest binade merges one binade up to fit.
+    """
+
+    def __init__(self, codes, exp_bits: int, man_bits: int, e_bias: int):
+        self.codes = codes  # uint8 [K, N]
+        self.exp_bits = exp_bits
+        self.man_bits = man_bits
+        self.e_bias = e_bias  # real exponent = stored - e_bias
+
+    @property
+    def shape(self):
+        return self.codes.shape
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("codes"), self.codes),
+        ), (self.exp_bits, self.man_bits, self.e_bias)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def pack_fp8(w: jax.Array, exp_bits: int = 4, man_bits: int = 3,
+             clamp_up_mul: float = 1.0, clamp_down_mul: float = 1.0) -> FP8Weight:
+    """Quantize [K, N] onto the fp_quant grid and pack one byte per element."""
+    import math
+
+    K, N = w.shape
+    threshold = 2 ** (exp_bits - 1)
+    up = float(2**threshold) * clamp_up_mul
+    down = float(2.0**-threshold) * clamp_down_mul
+
+    w = w.astype(jnp.float32)
+    # fp_quant maps zeros to +down (formats._signed_clamp)
+    c = jnp.clip(jnp.abs(w), down, up)
+    e = jnp.floor(jnp.log2(c)).astype(jnp.int32)
+    # ldexp, not exp2 (exp2 lowers to exp(x*ln2), ~1 ULP off) — fp_quant
+    # divides by ldexp(1, e) and bit-exactness requires the same divisor
+    m = jnp.round((c / jnp.ldexp(jnp.float32(1.0), e) - 1.0)
+                  * float(2**man_bits)).astype(jnp.int32)
+    # mantissa rounding up to 2^man rolls into the next binade
+    roll = m >= 2**man_bits
+    e = jnp.where(roll, e + 1, e)
+    m = jnp.where(roll, 0, m)
+
+    e_max = math.floor(math.log2(up))
+    if float(2.0**e_max) < up:  # non-power-of-2 cap: rolls may land one up
+        e_max += 1
+    e_min = e_max - (2**exp_bits - 1)
+    # merge any binade below the storable floor up to it (wide variants only)
+    m = jnp.where(e < e_min, 0, m)
+    e = jnp.clip(e, e_min, e_max)
+
+    sign = (w < 0).astype(jnp.uint8)
+    code = (
+        (sign << 7)
+        | (((e - e_min).astype(jnp.uint8) & ((1 << exp_bits) - 1)) << man_bits)
+        | (m.astype(jnp.uint8) & ((1 << man_bits) - 1))
+    )
+    return FP8Weight(
+        codes=code.astype(jnp.uint8), exp_bits=exp_bits, man_bits=man_bits,
+        e_bias=-e_min,
+    )
+
+
+def unpack_fp8(q: FP8Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference (XLA) dequant — the Pallas kernel fuses this into the matmul."""
+    u = q.codes.astype(jnp.int32)
+    m = u & ((1 << q.man_bits) - 1)
+    e = ((u >> q.man_bits) & ((1 << q.exp_bits) - 1)) - q.e_bias
+    # ldexp, not exp2: exp2 lowers to exp(x*ln2) and is ~1 ULP off, which
+    # breaks the bit-exactness contract vs formats.fp_quant
+    mag = jnp.ldexp(
+        1.0 + m.astype(jnp.float32) / float(2**q.man_bits), e
+    )
+    return jnp.where((u & 0x80) != 0, -mag, mag).astype(dtype)

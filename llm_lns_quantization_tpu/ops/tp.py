@@ -228,6 +228,23 @@ def _lns4_matmul_cp(out_dtype_name: str):
     return cp
 
 
+
+@functools.lru_cache(maxsize=None)
+def _fp8_matmul_cp(exp_bits: int, man_bits: int, e_bias: int,
+                   out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, codes):
+        return qmm.fp8_matmul(
+            x, codes, exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias,
+            out_dtype=dtype,
+        )
+
+    return _def_partition(
+        custom_partitioning(local), local, "i j, j k -> i k"
+    )
+
+
 def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16):
     """Partitioning-aware ``ops.matmul.lns_matmul`` (see module docstring)."""
     if _single_device():
@@ -275,3 +292,15 @@ def lns4_matmul(x, packed, out_dtype=jnp.bfloat16):
     y = _lns4_matmul_cp(jnp.dtype(out_dtype).name)(x, packed)
     m = y.shape[0]
     return y.reshape(m, y.shape[1] * y.shape[2])
+
+
+def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=5,
+               out_dtype=jnp.bfloat16):
+    """Partitioning-aware ``ops.matmul.fp8_matmul`` (scale-free custom float)."""
+    if _single_device():
+        return qmm.fp8_matmul(
+            x, codes, exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias,
+            out_dtype=out_dtype,
+        )
+    return _fp8_matmul_cp(exp_bits, man_bits, e_bias,
+                          jnp.dtype(out_dtype).name)(x, codes)

@@ -64,6 +64,13 @@ _PACKABLE = (
 # format name -> (frac_bits, man_bits) for LNS packing
 _LNS_PACK = {"lns8": (3, 4), "lns4": (1, 2)}
 _INT8_PACK = ("w8a8", "zeroquant", "vsquant", "int8", "llm_int8")
+# format name -> (exp_bits, man_bits, clamp_up_mul, clamp_down_mul) for
+# scale-free custom-float packing (quant.formats.fp_quant grid)
+_FP8_PACK = {
+    "fp8": (4, 3, 0.5, 10.0),       # reference active E4M3 variant
+    "fp8_e4m3": (4, 3, 0.5, 10.0),
+    "fp8_e5m2": (5, 2, 1.0, 1.0),
+}
 # format name -> (block_size, exp_bits, man_bits) for MX packing
 _MX_PACK = {
     "mx": (16, 5, 2),
@@ -105,6 +112,14 @@ def quantize_weights(params, config: QuantConfig):
             pack = lambda w: pack_lns(w, frac_bits=f, man_bits=m)  # noqa: E731
         elif config.weights in _INT8_PACK:
             pack = pack_int8
+        elif config.weights in _FP8_PACK:
+            from ..ops.packing import pack_fp8
+
+            e, m, upm, dnm = _FP8_PACK[config.weights]
+            pack = lambda w: pack_fp8(  # noqa: E731
+                w, exp_bits=e, man_bits=m, clamp_up_mul=upm,
+                clamp_down_mul=dnm,
+            )
         elif config.weights in _MX_PACK:
             from ..ops.packing import pack_mx
 

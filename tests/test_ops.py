@@ -424,3 +424,67 @@ def test_mx_pallas_model_path():
     b = fake.forward(fake.params, fake.cfg, tokens)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_fp8_pack_matches_fake_quant():
+    """pack_fp8 -> unpack_fp8 reproduces formats.fp_quant bit-exactly for the
+    reference's active (narrow-clamp) E4M3 variant; the wide E5M2 variant
+    matches everywhere except the merged lowest binade."""
+    from llm_lns_quantization_tpu.ops.packing import pack_fp8, unpack_fp8
+
+    w = rand((64, 48), seed=31, scale=3.0)
+    w[0, 0] = 0.0
+    w[1, 1] = 1e4   # clamps at the top
+    w[2, 2] = -1e-9  # clamps at the bottom
+    q = pack_fp8(jnp.asarray(w), 4, 3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+    deq = np.asarray(unpack_fp8(q, dtype=jnp.float32))
+    ref = np.asarray(formats.fp8_e4m3(jnp.asarray(w)))
+    np.testing.assert_array_equal(deq, ref)
+
+    q = pack_fp8(jnp.asarray(w), 5, 2)
+    deq = np.asarray(unpack_fp8(q, dtype=jnp.float32))
+    ref = np.asarray(formats.fp8_e5m2(jnp.asarray(w)))
+    floor = 2.0 ** -16
+    mism = deq != ref
+    assert np.all(np.abs(ref[mism]) <= 4 * floor)
+
+
+@pytest.mark.parametrize("K", [256, 8192])
+def test_fp8_matmul_interpret(K):
+    """Dequant-fused FP8 kernel == XLA dequant matmul (resident + k-tiled)."""
+    from llm_lns_quantization_tpu.ops.packing import pack_fp8, unpack_fp8
+
+    w = rand((K, 128), seed=32, scale=0.5)
+    q = pack_fp8(jnp.asarray(w), 4, 3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+    x = jnp.asarray(rand((32, K), seed=33, scale=0.5), jnp.bfloat16)
+    got = np.asarray(qmm.fp8_matmul(
+        x, q.codes, exp_bits=q.exp_bits, man_bits=q.man_bits,
+        e_bias=q.e_bias, out_dtype=jnp.float32,
+    ))
+    want = np.asarray(jnp.dot(
+        x.astype(jnp.float32), unpack_fp8(q, jnp.float32),
+        preferred_element_type=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fp8_pallas_model_path():
+    """w:fp8;pallas packs matmul weights as FP8Weight and the model forward
+    tracks the fake-quant tier closely."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import FP8Weight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
+    fake = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig(weights="fp8"), dtype=jnp.float32)
+    real = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig.parse("w:fp8;pallas"),
+                       dtype=jnp.float32)
+    leaves = jax.tree_util.tree_leaves(
+        real.params, is_leaf=lambda x: isinstance(x, FP8Weight))
+    assert any(isinstance(l, FP8Weight) for l in leaves)
+    a = real.forward(real.params, real.cfg, tokens)
+    b = fake.forward(fake.params, fake.cfg, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-2, atol=5e-2)

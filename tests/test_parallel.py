@@ -336,3 +336,31 @@ def test_tp_mx_sharded_matches_dense():
         s = jax.device_put(q.bscale, NamedSharding(mesh, wspec))
         out = jax.jit(fn)(xs, c, s)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+@requires_multidevice
+def test_tp_fp8_sharded_matches_dense():
+    """FP8 kernel under custom_partitioning: column- and row-parallel code
+    shards match the unsharded kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_fp8
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(6)
+    M, K, N = 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.5)
+    q = pack_fp8(w, 4, 3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+    kw = dict(exp_bits=q.exp_bits, man_bits=q.man_bits, e_bias=q.e_bias,
+              out_dtype=jnp.float32)
+    ref = np.asarray(qmm.fp8_matmul(x, q.codes, **kw))
+
+    fn = lambda a, c: tp.fp8_matmul(a, c, **kw)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec in [P(None, "model"), P("model", None)]:
+        c = jax.device_put(q.codes, NamedSharding(mesh, wspec))
+        out = jax.jit(fn)(xs, c)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
