@@ -54,41 +54,46 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
 
         *lead, K = x.shape
         x2 = x.reshape(-1, K)
+        # bias rides into the kernel epilogue (XLA fuses dot+b for the bf16
+        # path; the kernels must do the same or pay an extra [M, N] HBM
+        # round-trip — measured ~15% of GPT-2 scoring throughput)
         if isinstance(w, LNSWeight):
             y2 = qmm.lns_matmul(
                 x2.astype(jnp.bfloat16), w.codes, frac_bits=w.frac_bits,
-                out_dtype=x.dtype,
+                out_dtype=x.dtype, bias=b,
             )
         elif isinstance(w, LNS4Weight):
             y2 = qmm.lns4_matmul(
-                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype
+                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
             )
         elif isinstance(w, FP8Weight):
             y2 = qmm.fp8_matmul(
                 x2.astype(jnp.bfloat16), w.codes, exp_bits=w.exp_bits,
                 man_bits=w.man_bits, e_bias=w.e_bias, out_dtype=x.dtype,
+                bias=b,
             )
         elif isinstance(w, MXWeight):
             y2 = qmm.mx_matmul(
                 x2.astype(jnp.bfloat16), w.codes, w.bscale,
                 exp_bits=w.exp_bits, man_bits=w.man_bits,
-                block_size=w.block_size, out_dtype=x.dtype,
+                block_size=w.block_size, out_dtype=x.dtype, bias=b,
             )
         elif actq.config.acts in _INT8_ACT_FORMATS:
             # int8-family activation format + packed int8 weights = the true
             # W8A8 serving path: per-row dynamic activation quant in-kernel,
             # native s8 x s8 MXU dot (2x bf16 MXU throughput on v5e+)
             y2 = qmm.w8a8_matmul(
-                x2.astype(jnp.bfloat16), w.codes, w.scale, out_dtype=x.dtype
+                x2.astype(jnp.bfloat16), w.codes, w.scale, out_dtype=x.dtype,
+                bias=b,
             )
         else:
             y2 = qmm.int8_matmul(
-                x2.astype(jnp.bfloat16), w.codes, w.scale, out_dtype=x.dtype
+                x2.astype(jnp.bfloat16), w.codes, w.scale, out_dtype=x.dtype,
+                bias=b,
             )
-        y = y2.reshape(*lead, w.shape[1])
-    else:
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        y = y.astype(x.dtype)
+        return actq(site, y2.reshape(*lead, w.shape[1]))
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
     if b is not None:
         y = (y + b).astype(x.dtype)
     return actq(site, y)

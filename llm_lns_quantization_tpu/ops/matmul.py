@@ -43,6 +43,19 @@ def _cdiv(a, b):
 _K_RESIDENT_MAX = 6144  # beyond this, fall back to k-tiled kernels
 
 
+def _bias2d(bias, N):
+    """Fused bias epilogue operand: [1, N] float32 (zeros when absent).
+
+    Folding the bias into the kernel matters because XLA fuses ``dot + b``
+    into the matmul's output loop, but cannot fuse into an opaque
+    pallas_call — an unfused bias add costs an extra read+write of the whole
+    [M, N] output (measured ~15% of end-to-end GPT-2 scoring throughput).
+    """
+    if bias is None:
+        return jnp.zeros((1, N), jnp.float32)
+    return bias.reshape(1, N).astype(jnp.float32)
+
+
 def _lns_decode(u, frac_bits):
     """uint8 LNS code -> bf16 value, without transcendentals.
 
@@ -60,14 +73,23 @@ def _lns_decode(u, frac_bits):
     base = jax.lax.bitcast_convert_type(
         (sbits | (e << 23)).astype(jnp.int32), jnp.float32
     )
-    r = k & ((1 << f) - 1)
-    m = jnp.float32(1.0)
-    for i in range(1, 1 << f):
-        m = jnp.where(r == i, jnp.float32(2.0 ** (i / (1 << f))), m)
-    return (base * m).astype(jnp.bfloat16)
+    # fractional multiplier as a product of per-bit factors: r's low bits are
+    # u's low bits (subtracting 64 leaves bits < 6 untouched), so each factor
+    # is one bit test + select, log2 the ops of the flat equality tree. The
+    # chained f32 products land within 1 ULP of the correctly-rounded
+    # constants, which is exact after the bf16 cast (verified over the full
+    # 128-code grid).
+    m = base
+    for i in range(f):
+        m = m * jnp.where(
+            (u & (1 << i)) != 0, jnp.float32(2.0 ** (2**i / (1 << f))),
+            jnp.float32(1.0),
+        )
+    return m.astype(jnp.bfloat16)
 
 
-def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, frac_bits, out_dtype):
+def _lns_matmul_ktiled_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                              frac_bits, out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -80,10 +102,10 @@ def _lns_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *, frac_bits, out_dt
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        o_ref[...] = (acc_ref[...] + b_ref[...]).astype(out_dtype)
 
 
-def _lns_matmul_ktiled(x, codes, frac_bits, out_dtype,
+def _lns_matmul_ktiled(x, codes, bias2d, frac_bits, out_dtype,
                        block_m=512, block_n=512, block_k=2048):
     """Classic (i, j, k) tiling for K too large to keep VMEM-resident.
 
@@ -108,6 +130,7 @@ def _lns_matmul_ktiled(x, codes, frac_bits, out_dtype,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -119,7 +142,7 @@ def _lns_matmul_ktiled(x, codes, frac_bits, out_dtype,
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,  # decode is integer bit-assembly
         ),
-    )(x, codes)
+    )(x, codes, bias2d)
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +150,8 @@ def _lns_matmul_ktiled(x, codes, frac_bits, out_dtype,
 # ---------------------------------------------------------------------------
 
 
-def _lns_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, frac_bits, out_dtype):
+def _lns_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *, frac_bits,
+                       out_dtype):
     # grid is (j, i) with i (the M tiles) innermost: the weight tile for a
     # given j stays resident in VMEM across all i steps, and its decode runs
     # once (at i == 0) into the persistent scratch — dequant cost is
@@ -138,8 +162,9 @@ def _lns_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, frac_bits, out_dtype):
     def _():
         wdec_ref[...] = _lns_decode(w_ref[...].astype(jnp.int32), frac_bits)
 
-    o_ref[...] = jnp.dot(
-        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    o_ref[...] = (
+        jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
     ).astype(out_dtype)
 
 
@@ -153,6 +178,7 @@ def lns_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] @ lns-coded [K, N] -> [M, N].
 
@@ -163,9 +189,10 @@ def lns_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    b2d = _bias2d(bias, N)
     if K > _K_RESIDENT_MAX:
         return _lns_matmul_ktiled(
-            x, codes, frac_bits, out_dtype,
+            x, codes, b2d, frac_bits, out_dtype,
             block_m=block_m, block_n=block_n,
         )
     block_m = min(block_m, M)
@@ -194,6 +221,7 @@ def lns_matmul(
         in_specs=[
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -205,7 +233,7 @@ def lns_matmul(
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,  # decode is integer bit-assembly
         ),
-    )(x, codes)
+    )(x, codes, b2d)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +241,8 @@ def lns_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wdec_ref, *, out_dtype):
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, wdec_ref, *,
+                        out_dtype):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -221,7 +250,7 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wdec_ref, *, out_dtype):
         wdec_ref[...] = w_ref[...].astype(jnp.bfloat16)
 
     acc = jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
+    o_ref[...] = (acc * s_ref[...] + b_ref[...]).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
@@ -232,6 +261,7 @@ def int8_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] @ int8 [K, N] (per-column scale [N]) -> [M, N].
 
@@ -241,9 +271,10 @@ def int8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2
+    b2d = _bias2d(bias, N)
     if K > _K_RESIDENT_MAX:
         return _int8_matmul_ktiled(
-            x, codes, scale, out_dtype, block_m=block_m, block_n=block_n
+            x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
         )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -268,6 +299,7 @@ def int8_matmul(
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
             pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -279,7 +311,7 @@ def int8_matmul(
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes, scale2d)
+    )(x, codes, scale2d, b2d)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +319,8 @@ def int8_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, n_half_tiles, out_dtype):
+def _lns4_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
+                        n_half_tiles, out_dtype):
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -308,8 +341,9 @@ def _lns4_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *, n_half_tiles, out_dtyp
         m = jnp.where((k & 1) == 1, jnp.float32(2.0**0.5), jnp.float32(1.0))
         wdec_ref[...] = (base * m).astype(jnp.bfloat16)
 
-    o_ref[...] = jnp.dot(
-        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    o_ref[...] = (
+        jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
     ).astype(out_dtype)
 
 
@@ -320,6 +354,7 @@ def lns4_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] @ nibble-packed 4-bit LNS [K, N] -> [M, N].
 
@@ -337,7 +372,10 @@ def lns4_matmul(
         from .packing import LNS4Weight, unpack_lns4
 
         w = unpack_lns4(LNS4Weight(packed), dtype=jnp.bfloat16)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias.reshape(1, N).astype(jnp.float32)
+        return y.astype(out_dtype)
     block_m = min(block_m, M)
     block_n = min(block_n, N_half)
 
@@ -352,6 +390,7 @@ def lns4_matmul(
     while N_half % block_n:
         block_n //= 2
 
+    b2d = _bias2d(bias, N)
     n_half_tiles = N_half // block_n
     grid = (2 * n_half_tiles, _cdiv(M, block_m))
     kernel = functools.partial(
@@ -365,6 +404,7 @@ def lns4_matmul(
         in_specs=[
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j % n_half_tiles)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -376,7 +416,7 @@ def lns4_matmul(
             bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
             transcendentals=0,
         ),
-    )(x, packed)
+    )(x, packed, b2d)
 
 
 # ---------------------------------------------------------------------------
@@ -401,13 +441,16 @@ def _w8a8_quant_rows(x):
     return xq, rscale
 
 
-def _w8a8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+def _w8a8_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, out_dtype):
     xq, rscale = _w8a8_quant_rows(x_ref[...])
     acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
-    o_ref[...] = (acc.astype(jnp.float32) * rscale * s_ref[...]).astype(out_dtype)
+    o_ref[...] = (
+        acc.astype(jnp.float32) * rscale * s_ref[...] + b_ref[...]
+    ).astype(out_dtype)
 
 
-def _w8a8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype):
+def _w8a8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                               out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -423,10 +466,10 @@ def _w8a8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(out_dtype)
+        o_ref[...] = (acc_ref[...] * s_ref[...] + b_ref[...]).astype(out_dtype)
 
 
-def _w8a8_matmul_ktiled(x, codes, scale, out_dtype,
+def _w8a8_matmul_ktiled(x, codes, scale, b2d, out_dtype,
                         block_m=512, block_n=512, block_k=2048):
     M, K = x.shape
     _, N = codes.shape
@@ -444,6 +487,7 @@ def _w8a8_matmul_ktiled(x, codes, scale, out_dtype,
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
             pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -455,7 +499,7 @@ def _w8a8_matmul_ktiled(x, codes, scale, out_dtype,
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes, scale2d)
+    )(x, codes, scale2d, b2d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
@@ -466,6 +510,7 @@ def w8a8_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] bf16 @ int8 [K, N] (per-column scale [N]) -> [M, N], with the
     activations dynamically quantized to int8 per row in-kernel and the
@@ -473,9 +518,10 @@ def w8a8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    b2d = _bias2d(bias, N)
     if K > _K_RESIDENT_MAX:
         return _w8a8_matmul_ktiled(
-            x, codes, scale, out_dtype, block_m=block_m, block_n=block_n
+            x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
         )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -500,6 +546,7 @@ def w8a8_matmul(
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
             pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         compiler_params=pltpu.CompilerParams(
@@ -510,10 +557,11 @@ def w8a8_matmul(
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes, scale2d)
+    )(x, codes, scale2d, b2d)
 
 
-def _int8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype):
+def _int8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                               out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -528,10 +576,10 @@ def _int8_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(out_dtype)
+        o_ref[...] = (acc_ref[...] * s_ref[...] + b_ref[...]).astype(out_dtype)
 
 
-def _int8_matmul_ktiled(x, codes, scale, out_dtype,
+def _int8_matmul_ktiled(x, codes, scale, b2d, out_dtype,
                         block_m=512, block_n=512, block_k=2048):
     M, K = x.shape
     _, N = codes.shape
@@ -550,6 +598,7 @@ def _int8_matmul_ktiled(x, codes, scale, out_dtype,
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
             pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -561,7 +610,7 @@ def _int8_matmul_ktiled(x, codes, scale, out_dtype,
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes, scale2d)
+    )(x, codes, scale2d, b2d)
 
 
 # ---------------------------------------------------------------------------
@@ -590,7 +639,7 @@ def _mx_decode(u, s_tile, exp_bits, man_bits, block_size):
     return val.reshape(K, bn).astype(jnp.bfloat16)
 
 
-def _mx_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wdec_ref, *,
+def _mx_matmul_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, wdec_ref, *,
                       exp_bits, man_bits, block_size, out_dtype):
     i = pl.program_id(1)
 
@@ -601,12 +650,13 @@ def _mx_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wdec_ref, *,
             exp_bits, man_bits, block_size,
         )
 
-    o_ref[...] = jnp.dot(
-        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    o_ref[...] = (
+        jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
     ).astype(out_dtype)
 
 
-def _mx_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+def _mx_matmul_ktiled_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
                              exp_bits, man_bits, block_size, out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -622,7 +672,7 @@ def _mx_matmul_ktiled_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        o_ref[...] = (acc_ref[...] + b_ref[...]).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -637,6 +687,7 @@ def mx_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] bf16 @ MX-packed [K, N] -> [M, N] with dequant fused in VMEM.
 
@@ -646,6 +697,7 @@ def mx_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2 and K % block_size == 0, (x.shape, codes.shape, block_size)
+    b2d = _bias2d(bias, N)
     kernel_args = dict(
         exp_bits=exp_bits, man_bits=man_bits, block_size=block_size,
         out_dtype=out_dtype,
@@ -666,6 +718,7 @@ def mx_matmul(
                 pl.BlockSpec(
                     (block_k // block_size, block_n), lambda i, j, k: (k, j)
                 ),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
             ],
             out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -677,7 +730,7 @@ def mx_matmul(
                 bytes_accessed=M * K * 2 + K * N + M * N * 2,
                 transcendentals=0,
             ),
-        )(x, codes, bscale)
+        )(x, codes, bscale, b2d)
 
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -700,6 +753,7 @@ def mx_matmul(
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
             pl.BlockSpec((K // block_size, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -711,7 +765,7 @@ def mx_matmul(
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes, bscale)
+    )(x, codes, bscale, b2d)
 
 
 # ---------------------------------------------------------------------------
@@ -735,7 +789,7 @@ def _fp8_decode(u, exp_bits, man_bits, e_bias):
     ).astype(jnp.bfloat16)
 
 
-def _fp8_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *,
+def _fp8_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
                        exp_bits, man_bits, e_bias, out_dtype):
     i = pl.program_id(1)
 
@@ -745,12 +799,13 @@ def _fp8_matmul_kernel(x_ref, w_ref, o_ref, wdec_ref, *,
             w_ref[...].astype(jnp.int32), exp_bits, man_bits, e_bias
         )
 
-    o_ref[...] = jnp.dot(
-        x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    o_ref[...] = (
+        jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
     ).astype(out_dtype)
 
 
-def _fp8_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *,
+def _fp8_matmul_ktiled_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
                               exp_bits, man_bits, e_bias, out_dtype):
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -764,7 +819,7 @@ def _fp8_matmul_ktiled_kernel(x_ref, w_ref, o_ref, acc_ref, *,
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        o_ref[...] = (acc_ref[...] + b_ref[...]).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -778,6 +833,7 @@ def fp8_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    bias=None,
 ) -> jax.Array:
     """[M, K] bf16 @ fp8-packed [K, N] -> [M, N] with dequant fused in VMEM.
 
@@ -787,6 +843,7 @@ def fp8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    b2d = _bias2d(bias, N)
     kernel_args = dict(
         exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias, out_dtype=out_dtype
     )
@@ -803,6 +860,7 @@ def fp8_matmul(
             in_specs=[
                 pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
                 pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
             ],
             out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -814,7 +872,7 @@ def fp8_matmul(
                 bytes_accessed=M * K * 2 + K * N + M * N * 2,
                 transcendentals=0,
             ),
-        )(x, codes)
+        )(x, codes, b2d)
 
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -836,6 +894,7 @@ def fp8_matmul(
         in_specs=[
             pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
             pl.BlockSpec((K, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
@@ -847,4 +906,4 @@ def fp8_matmul(
             bytes_accessed=M * K * 2 + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(x, codes)
+    )(x, codes, b2d)

@@ -245,29 +245,43 @@ def _fp8_matmul_cp(exp_bits: int, man_bits: int, e_bias: int,
     )
 
 
-def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16):
+def _add_bias(y, bias):
+    # sharded path: the kernel runs bias-free on local shards and the bias is
+    # added AFTER the partition rule's psum/all-gather (a per-shard add would
+    # be summed model_par times under row parallelism). Single-device calls
+    # fuse the bias into the kernel epilogue instead (ops.matmul._bias2d).
+    if bias is None:
+        return y
+    return y + bias.reshape(1, -1).astype(y.dtype)
+
+
+def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns_matmul`` (see module docstring)."""
     if _single_device():
-        return qmm.lns_matmul(x, codes, frac_bits=frac_bits, out_dtype=out_dtype)
-    return _lns_matmul_cp(frac_bits, jnp.dtype(out_dtype).name)(x, codes)
+        return qmm.lns_matmul(x, codes, frac_bits=frac_bits,
+                              out_dtype=out_dtype, bias=bias)
+    y = _lns_matmul_cp(frac_bits, jnp.dtype(out_dtype).name)(x, codes)
+    return _add_bias(y, bias)
 
 
-def int8_matmul(x, codes, scale, out_dtype=jnp.bfloat16):
+def int8_matmul(x, codes, scale, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.int8_matmul``."""
     if _single_device():
-        return qmm.int8_matmul(x, codes, scale, out_dtype=out_dtype)
-    return _int8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+        return qmm.int8_matmul(x, codes, scale, out_dtype=out_dtype, bias=bias)
+    y = _int8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+    return _add_bias(y, bias)
 
 
-def w8a8_matmul(x, codes, scale, out_dtype=jnp.bfloat16):
+def w8a8_matmul(x, codes, scale, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.w8a8_matmul`` (true s8 x s8 MXU)."""
     if _single_device():
-        return qmm.w8a8_matmul(x, codes, scale, out_dtype=out_dtype)
-    return _w8a8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+        return qmm.w8a8_matmul(x, codes, scale, out_dtype=out_dtype, bias=bias)
+    y = _w8a8_matmul_cp(jnp.dtype(out_dtype).name)(x, codes, scale)
+    return _add_bias(y, bias)
 
 
 def mx_matmul(x, codes, bscale, exp_bits=5, man_bits=2, block_size=16,
-              out_dtype=jnp.bfloat16):
+              out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.mx_matmul`` (MX block floating point).
 
     Row-parallel K sharding requires the K-shard per device to be a multiple
@@ -278,29 +292,31 @@ def mx_matmul(x, codes, bscale, exp_bits=5, man_bits=2, block_size=16,
     if _single_device():
         return qmm.mx_matmul(
             x, codes, bscale, exp_bits=exp_bits, man_bits=man_bits,
-            block_size=block_size, out_dtype=out_dtype,
+            block_size=block_size, out_dtype=out_dtype, bias=bias,
         )
-    return _mx_matmul_cp(
+    y = _mx_matmul_cp(
         exp_bits, man_bits, block_size, jnp.dtype(out_dtype).name
     )(x, codes, bscale)
+    return _add_bias(y, bias)
 
 
-def lns4_matmul(x, packed, out_dtype=jnp.bfloat16):
+def lns4_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns4_matmul``."""
     if _single_device():
-        return qmm.lns4_matmul(x, packed, out_dtype=out_dtype)
+        return qmm.lns4_matmul(x, packed, out_dtype=out_dtype, bias=bias)
     y = _lns4_matmul_cp(jnp.dtype(out_dtype).name)(x, packed)
     m = y.shape[0]
-    return y.reshape(m, y.shape[1] * y.shape[2])
+    return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)
 
 
 def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=5,
-               out_dtype=jnp.bfloat16):
+               out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.fp8_matmul`` (scale-free custom float)."""
     if _single_device():
         return qmm.fp8_matmul(
             x, codes, exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, bias=bias,
         )
-    return _fp8_matmul_cp(exp_bits, man_bits, e_bias,
-                          jnp.dtype(out_dtype).name)(x, codes)
+    y = _fp8_matmul_cp(exp_bits, man_bits, e_bias,
+                       jnp.dtype(out_dtype).name)(x, codes)
+    return _add_bias(y, bias)

@@ -488,3 +488,58 @@ def test_fp8_pallas_model_path():
     b = fake.forward(fake.params, fake.cfg, tokens)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("K", [256, 8192])
+def test_fused_bias_epilogue_all_kernels(K):
+    """Every quantized matmul's in-kernel bias add == bias-free kernel + b
+    (resident and k-tiled paths)."""
+    from llm_lns_quantization_tpu.ops.packing import (
+        pack_fp8, pack_int8, pack_lns, pack_lns4, pack_mx,
+    )
+
+    N = 256
+    w = rand((K, N), seed=41, scale=0.1)
+    x = jnp.asarray(rand((16, K), seed=42, scale=0.5), jnp.bfloat16)
+    b = jnp.asarray(rand((N,), seed=43, scale=2.0))
+
+    ql = pack_lns(jnp.asarray(w))
+    qi = pack_int8(jnp.asarray(w))
+    q4 = pack_lns4(jnp.asarray(w))
+    qm = pack_mx(jnp.asarray(w))
+    qf = pack_fp8(jnp.asarray(w), 4, 3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+    cases = [
+        (lambda bias: qmm.lns_matmul(x, ql.codes, frac_bits=3,
+                                     out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.int8_matmul(x, qi.codes, qi.scale,
+                                      out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.lns4_matmul(x, q4.packed,
+                                      out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.mx_matmul(x, qm.codes, qm.bscale,
+                                    out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.fp8_matmul(x, qf.codes, exp_bits=qf.exp_bits,
+                                     man_bits=qf.man_bits, e_bias=qf.e_bias,
+                                     out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.w8a8_matmul(x, qi.codes, qi.scale,
+                                      out_dtype=jnp.float32, bias=bias)),
+    ]
+    for fn in cases:
+        base = np.asarray(fn(None))
+        fused = np.asarray(fn(b))
+        np.testing.assert_allclose(
+            fused, base + np.asarray(b)[None, :], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_lns_decode_bitexact_all_codes():
+    """The kernel's bit-test product decode == exp2 dequant after the bf16
+    cast, for every one of the 256 LNS8 codes (and all 16 LNS4 nibbles via
+    the f=1 path)."""
+    from llm_lns_quantization_tpu.ops.matmul import _lns_decode
+    from llm_lns_quantization_tpu.ops.packing import LNSWeight, unpack_lns
+
+    for f in (3, 1):
+        codes = jnp.arange(256, dtype=jnp.int32).reshape(16, 16)
+        got = np.asarray(_lns_decode(codes, f))
+        want = np.asarray(unpack_lns(LNSWeight(codes.astype(jnp.uint8), f)))
+        np.testing.assert_array_equal(got, want)
