@@ -39,6 +39,7 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
     from ..ops.packing import (
+        FP4Weight,
         FP8Weight,
         Int8Weight,
         LNS4Weight,
@@ -46,7 +47,8 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         MXWeight,
     )
 
-    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight)):
+    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight,
+                      FP4Weight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -64,6 +66,10 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
             )
         elif isinstance(w, LNS4Weight):
             y2 = qmm.lns4_matmul(
+                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
+            )
+        elif isinstance(w, FP4Weight):
+            y2 = qmm.fp4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
             )
         elif isinstance(w, FP8Weight):

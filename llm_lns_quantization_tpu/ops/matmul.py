@@ -18,6 +18,15 @@ Kernels:
 
 Both use a (i, j, k) grid with K-tiling and an f32 VMEM accumulator
 (flushed to the output tile on the last k step).
+
+Dispatch policy: the fused kernels exist for the weight-HBM-bound regime
+(few activation rows — KV-cache decode, small serving batches) where reading
+1-byte codes instead of 2-byte bf16 is the whole game. In the compute-bound
+regime (M >= _XLA_DOT_MIN_M: scoring, prefill) every public entry point
+instead dequantizes the packed weight once with the same bit-assembly decode
+and calls XLA's matmul — its emitter beats a hand-tiled Mosaic matmul at
+those shapes, and the [K, N] dequant round-trip is negligible next to the
+activation traffic. Weights stay packed in HBM either way.
 """
 
 import functools
@@ -41,6 +50,22 @@ def _cdiv(a, b):
 
 
 _K_RESIDENT_MAX = 6144  # beyond this, fall back to k-tiled kernels
+
+# VMEM bytes the auto-tiler may plan for (double-buffered operands + scratch).
+# v5e/v5p have 128 MB; keep headroom for Mosaic's own allocations.
+_VMEM_BUDGET = 8 * 2**20
+
+# default (block_m, block_n) when the caller passes None — module-level so
+# in-model tuning sweeps can override without threading args everywhere
+# (jit reads them at trace time; jax.clear_caches() forces a re-read)
+_DEFAULT_BLOCK_M = 512
+_DEFAULT_BLOCK_N = 512
+_FORCE_KTILED = False
+
+
+def _blocks(block_m, block_n):
+    return (_DEFAULT_BLOCK_M if block_m is None else block_m,
+            _DEFAULT_BLOCK_N if block_n is None else block_n)
 
 
 def _bias2d(bias, N):
@@ -86,6 +111,30 @@ def _lns_decode(u, frac_bits):
             jnp.float32(1.0),
         )
     return m.astype(jnp.bfloat16)
+
+
+# Above this many activation rows the matmul is compute-bound and XLA's
+# hand-tuned matmul emitter beats the fused Pallas kernel (measured 0.87x vs
+# 0.70x of bf16 on GPT-2 scoring); the dequant materializes only the [K, N]
+# bf16 weight (negligible next to M*K + M*N activation traffic). Below it —
+# the decode/serving regime — weight HBM traffic dominates and the fused
+# kernel's packed reads win.
+_XLA_DOT_MIN_M = 1024
+
+
+def _xla_dot(x, w, b2d, out_dtype):
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b2d
+    return y.astype(out_dtype)
+
+
+def _shrink_n(bn: int) -> int:
+    """Halve a block_n while keeping it Mosaic-legal: lane-dim blocks must be
+    multiples of 128 (or the full array dim). Plain halving of e.g. 384
+    yields 192/96, which Mosaic rejects."""
+    bn //= 2
+    if bn > 128:
+        bn -= bn % 128
+    return max(bn, 128)
 
 
 def _lns_matmul_ktiled_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
@@ -175,8 +224,8 @@ def lns_matmul(
     x: jax.Array,
     codes: jax.Array,
     frac_bits: int = 3,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -189,8 +238,13 @@ def lns_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if K > _K_RESIDENT_MAX:
+    if M >= _XLA_DOT_MIN_M:
+        # same transcendental-free bit-assembly decode, run by XLA
+        return _xla_dot(x, _lns_decode(codes.astype(jnp.int32), frac_bits),
+                        b2d, out_dtype)
+    if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         return _lns_matmul_ktiled(
             x, codes, b2d, frac_bits, out_dtype,
             block_m=block_m, block_n=block_n,
@@ -202,9 +256,9 @@ def lns_matmul(
         # pallas double-buffers inputs and outputs; scratch is single
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -258,8 +312,8 @@ def int8_matmul(
     x: jax.Array,
     codes: jax.Array,
     scale: jax.Array,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -271,8 +325,13 @@ def int8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2
+    block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if K > _K_RESIDENT_MAX:
+    if M >= _XLA_DOT_MIN_M:
+        y = jnp.dot(x, codes.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return (y * scale.reshape(1, N).astype(jnp.float32) + b2d).astype(out_dtype)
+    if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         return _int8_matmul_ktiled(
             x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
         )
@@ -282,9 +341,9 @@ def int8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -351,8 +410,8 @@ def _lns4_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
 def lns4_matmul(
     x: jax.Array,
     packed: jax.Array,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -365,30 +424,27 @@ def lns4_matmul(
     K2, N_half = packed.shape
     N = N_half * 2
     assert K == K2
-    if N_half % 128 != 0 or K % 8 != 0:
-        # Small layers can't satisfy Mosaic's (8, 128) tile minimum once the
-        # N axis is halved — decode with XLA instead (these layers contribute
-        # negligible FLOPs; the kernel exists for the big projections).
+    block_m, block_n = _blocks(block_m, block_n)
+    if M >= _XLA_DOT_MIN_M or N_half % 128 != 0 or K % 8 != 0:
+        # compute-bound regime, or layers below Mosaic's (8, 128) tile
+        # minimum once the N axis is halved — decode with XLA instead
         from .packing import LNS4Weight, unpack_lns4
 
         w = unpack_lns4(LNS4Weight(packed), dtype=jnp.bfloat16)
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        if bias is not None:
-            y = y + bias.reshape(1, N).astype(jnp.float32)
-        return y.astype(out_dtype)
+        return _xla_dot(x, w, _bias2d(bias, N), out_dtype)
     block_m = min(block_m, M)
     block_n = min(block_n, N_half)
 
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
     # each packed tile must sit entirely in one half
     while N_half % block_n:
-        block_n //= 2
+        block_n = _shrink_n(block_n)
 
     b2d = _bias2d(bias, N)
     n_half_tiles = N_half // block_n
@@ -507,8 +563,8 @@ def w8a8_matmul(
     x: jax.Array,
     codes: jax.Array,
     scale: jax.Array,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -518,8 +574,19 @@ def w8a8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if K > _K_RESIDENT_MAX:
+    if M >= _XLA_DOT_MIN_M:
+        # XLA also runs the native s8 x s8 MXU dot; per-row dynamic act quant
+        # vectorizes fine outside the kernel
+        xq, rscale = _w8a8_quant_rows(x)
+        acc = jax.lax.dot_general(
+            xq, codes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * rscale * scale.reshape(1, N).astype(jnp.float32)
+        return (y + b2d).astype(out_dtype)
+    if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         return _w8a8_matmul_ktiled(
             x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
         )
@@ -529,9 +596,9 @@ def w8a8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2 + bm * K) + 2 * (K * bn) + 2 * (bm * bn * 4)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -684,8 +751,8 @@ def mx_matmul(
     exp_bits: int = 5,
     man_bits: int = 2,
     block_size: int = 16,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -697,12 +764,17 @@ def mx_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2 and K % block_size == 0, (x.shape, codes.shape, block_size)
+    block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
+    if M >= _XLA_DOT_MIN_M:
+        w = _mx_decode(codes.astype(jnp.int32), bscale, exp_bits, man_bits,
+                       block_size)
+        return _xla_dot(x, w, b2d, out_dtype)
     kernel_args = dict(
         exp_bits=exp_bits, man_bits=man_bits, block_size=block_size,
         out_dtype=out_dtype,
     )
-    if K > _K_RESIDENT_MAX:
+    if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         block_m = min(block_m, M)
         block_n = min(block_n, N)
         block_k = 2048
@@ -738,9 +810,9 @@ def mx_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -830,8 +902,8 @@ def fp8_matmul(
     exp_bits: int = 4,
     man_bits: int = 3,
     e_bias: int = 5,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m=None,
+    block_n=None,
     out_dtype=jnp.bfloat16,
     bias=None,
 ) -> jax.Array:
@@ -843,11 +915,15 @@ def fp8_matmul(
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
+    block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
+    if M >= _XLA_DOT_MIN_M:
+        w = _fp8_decode(codes.astype(jnp.int32), exp_bits, man_bits, e_bias)
+        return _xla_dot(x, w, b2d, out_dtype)
     kernel_args = dict(
         exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias, out_dtype=out_dtype
     )
-    if K > _K_RESIDENT_MAX:
+    if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         block_m = min(block_m, M)
         block_n = min(block_n, N)
         block_k = 2048
@@ -880,9 +956,9 @@ def fp8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > 8 * 2**20:
-        block_n //= 2
-    while block_m > 128 and _vmem(block_m, block_n) > 8 * 2**20:
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
         block_m //= 2
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
@@ -907,3 +983,99 @@ def fp8_matmul(
             transcendentals=0,
         ),
     )(x, codes, b2d)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit FP4 (E2M1) matmul: nibble-packed custom-float weights
+# ---------------------------------------------------------------------------
+
+
+def _fp4_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
+                       n_half_tiles, out_dtype):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        u = w_ref[...].astype(jnp.int32)  # [K, bn] packed bytes (halves layout)
+        nib = jnp.where(j < n_half_tiles, u & 0xF, (u >> 4) & 0xF)
+        # E2M1 decode is pure bit assembly — sign, exponent and the single
+        # mantissa bit all map directly onto float32 bit positions (cheapest
+        # decode of the 4-bit zoo: no selects at all)
+        sbits = (nib & 0x8) << 28
+        e = ((nib >> 1) & 0x3) + 125  # e - 2 + 127
+        mant = (nib & 1) << 22
+        wdec_ref[...] = jax.lax.bitcast_convert_type(
+            (sbits | (e << 23) | mant).astype(jnp.int32), jnp.float32
+        ).astype(jnp.bfloat16)
+
+    o_ref[...] = (
+        jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
+def fp4_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    block_m=None,
+    block_n=None,
+    out_dtype=jnp.bfloat16,
+    bias=None,
+) -> jax.Array:
+    """[M, K] bf16 @ nibble-packed E2M1 [K, N] -> [M, N].
+
+    ``packed`` uses the halves layout (ops.packing.FP4Weight); tiling and
+    fallback rules are identical to lns4_matmul.
+    """
+    M, K = x.shape
+    K2, N_half = packed.shape
+    N = N_half * 2
+    assert K == K2
+    block_m, block_n = _blocks(block_m, block_n)
+    if M >= _XLA_DOT_MIN_M or N_half % 128 != 0 or K % 8 != 0:
+        from .packing import FP4Weight, unpack_fp4
+
+        w = unpack_fp4(FP4Weight(packed), dtype=jnp.bfloat16)
+        return _xla_dot(x, w, _bias2d(bias, N), out_dtype)
+    block_m = min(block_m, M)
+    block_n = min(block_n, N_half)
+
+    def _vmem(bm, bn):
+        return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
+
+    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
+        block_m //= 2
+    while N_half % block_n:
+        block_n = _shrink_n(block_n)
+
+    b2d = _bias2d(bias, N)
+    n_half_tiles = N_half // block_n
+    grid = (2 * n_half_tiles, _cdiv(M, block_m))
+    kernel = functools.partial(
+        _fp4_matmul_kernel, n_half_tiles=n_half_tiles, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda j, i: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda j, i: (0, j % n_half_tiles)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, b2d)

@@ -371,3 +371,67 @@ def unpack_fp8(q: FP8Weight, dtype=jnp.bfloat16) -> jax.Array:
         1.0 + m.astype(jnp.float32) / float(2**q.man_bits), e
     )
     return jnp.where((u & 0x80) != 0, -mag, mag).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class FP4Weight:
+    """True 4-bit custom-float (E2M1) weights: two codes per byte, halves
+    layout along N (same byte layout rationale as LNS4Weight).
+
+    Code nibble: bit 3 = sign, bits 1-2 = stored exponent (e + 2), bit 0 =
+    mantissa; value = sign * (1 + m/2) * 2^(e_stored - 2). The fp_quant E2M1
+    grid (quant.formats.fp4_e2m1, reference float4 block huggingface.py:
+    1338-1428) spans binades -2..2 — one more than 2 exponent bits hold —
+    so the packed grid merges the TOP grid point down (4.0 -> 3.0): weights
+    overwhelmingly populate the bottom of the grid (|w| << 0.25 clamps up to
+    the 0.25 floor), so bottom-binade fidelity is what matters; only values
+    in [3.5, 4] are affected.
+    """
+
+    def __init__(self, packed):
+        self.packed = packed  # uint8 [K, N//2]
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.packed.shape[1] * 2)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("packed"), self.packed),), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def pack_fp4(w: jax.Array) -> FP4Weight:
+    """Quantize [K, N] onto the E2M1 fp_quant grid and pack two nibbles per
+    byte (halves layout: low nibble = column j, high = column j + N/2)."""
+    K, N = w.shape
+    assert N % 2 == 0, "N must be even for nibble packing"
+    w = w.astype(jnp.float32)
+    c = jnp.clip(jnp.abs(w), 0.25, 4.0)  # fp_quant maps zeros to +down
+    e = jnp.floor(jnp.log2(c)).astype(jnp.int32)
+    m = jnp.round((c / jnp.ldexp(jnp.float32(1.0), e) - 1.0) * 2.0).astype(jnp.int32)
+    roll = m >= 2
+    e = jnp.where(roll, e + 1, e)
+    m = jnp.where(roll, 0, m)
+    # top merge: 4.0 (e=2, m=0) -> 3.0 (e=1, m=1); see class docstring
+    m = jnp.where(e > 1, 1, m)
+    e = jnp.clip(e, -2, 1)
+    sign = (w < 0).astype(jnp.int32)
+    nib = ((sign << 3) | ((e + 2) << 1) | m).astype(jnp.uint8)
+    lo = nib[:, : N // 2]
+    hi = nib[:, N // 2 :]
+    return FP4Weight((lo | (hi << 4)).astype(jnp.uint8))
+
+
+def unpack_fp4(q: FP4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    u = q.packed.astype(jnp.int32)
+    nib = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=1)
+    e = ((nib >> 1) & 0x3) - 2
+    mag = jnp.ldexp(1.0 + (nib & 1).astype(jnp.float32) * 0.5, e)
+    return jnp.where((nib & 0x8) != 0, -mag, mag).astype(dtype)

@@ -255,6 +255,52 @@ def _add_bias(y, bias):
     return y + bias.reshape(1, -1).astype(y.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _fp4_matmul_cp(out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local3(x, packed):
+        # same halves-major 3-D output trick as _lns4_matmul_cp
+        y = qmm.fp4_matmul(x, packed, out_dtype=dtype)
+        m, n = y.shape
+        return y.reshape(m, 2, n // 2)
+
+    cp = custom_partitioning(local3)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, kax, _ = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+
+        if kax is not None:
+            def lower(x, p):
+                return jax.lax.psum(local3(x, p), kax)
+
+            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
+                    (NamedSharding(mesh, P(xrow, kax)),
+                     NamedSharding(mesh, P(kax, None))))
+
+        if nax is not None:
+            def lower(x, p):
+                return jax.lax.all_gather(local3(x, p), nax, axis=2, tiled=True)
+
+            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
+                    (NamedSharding(mesh, P(xrow, None)),
+                     NamedSharding(mesh, P(None, nax))))
+
+        return (mesh, local3, NamedSharding(mesh, P(xrow, None, None)),
+                (NamedSharding(mesh, P(xrow, None)),
+                 NamedSharding(mesh, P(None, None))))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, j k -> i h k",
+    )
+    return cp
+
+
 def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns_matmul`` (see module docstring)."""
     if _single_device():
@@ -320,3 +366,12 @@ def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=5,
     y = _fp8_matmul_cp(exp_bits, man_bits, e_bias,
                        jnp.dtype(out_dtype).name)(x, codes)
     return _add_bias(y, bias)
+
+
+def fp4_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
+    """Partitioning-aware ``ops.matmul.fp4_matmul`` (nibble-packed E2M1)."""
+    if _single_device():
+        return qmm.fp4_matmul(x, packed, out_dtype=out_dtype, bias=bias)
+    y = _fp4_matmul_cp(jnp.dtype(out_dtype).name)(x, packed)
+    m = y.shape[0]
+    return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)

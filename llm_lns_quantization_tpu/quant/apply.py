@@ -112,6 +112,13 @@ def quantize_weights(params, config: QuantConfig):
             pack = lambda w: pack_lns(w, frac_bits=f, man_bits=m)  # noqa: E731
         elif config.weights in _INT8_PACK:
             pack = pack_int8
+        elif config.weights in ("fp4", "fp4_e2m1"):
+            from ..ops.packing import pack_fp4
+
+            # true 4-bit nibble packing (fake-quant fallback if N is odd)
+            pack = lambda w: (  # noqa: E731
+                pack_fp4(w) if w.shape[1] % 2 == 0 else fn(w)
+            )
         elif config.weights in _FP8_PACK:
             from ..ops.packing import pack_fp8
 

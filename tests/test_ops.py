@@ -491,16 +491,18 @@ def test_fp8_pallas_model_path():
 
 
 @pytest.mark.parametrize("K", [256, 8192])
-def test_fused_bias_epilogue_all_kernels(K):
-    """Every quantized matmul's in-kernel bias add == bias-free kernel + b
-    (resident and k-tiled paths)."""
+@pytest.mark.parametrize("M", [16, 1024])
+def test_fused_bias_epilogue_all_kernels(K, M):
+    """Every quantized matmul's bias add == bias-free matmul + b, on both
+    dispatch arms: M=16 exercises the fused Pallas kernels (resident and
+    k-tiled), M=1024 the compute-bound XLA dequant-dot path."""
     from llm_lns_quantization_tpu.ops.packing import (
-        pack_fp8, pack_int8, pack_lns, pack_lns4, pack_mx,
+        pack_fp4, pack_fp8, pack_int8, pack_lns, pack_lns4, pack_mx,
     )
 
     N = 256
     w = rand((K, N), seed=41, scale=0.1)
-    x = jnp.asarray(rand((16, K), seed=42, scale=0.5), jnp.bfloat16)
+    x = jnp.asarray(rand((M, K), seed=42, scale=0.5), jnp.bfloat16)
     b = jnp.asarray(rand((N,), seed=43, scale=2.0))
 
     ql = pack_lns(jnp.asarray(w))
@@ -508,6 +510,7 @@ def test_fused_bias_epilogue_all_kernels(K):
     q4 = pack_lns4(jnp.asarray(w))
     qm = pack_mx(jnp.asarray(w))
     qf = pack_fp8(jnp.asarray(w), 4, 3, clamp_up_mul=0.5, clamp_down_mul=10.0)
+    qn = pack_fp4(jnp.asarray(w))
     cases = [
         (lambda bias: qmm.lns_matmul(x, ql.codes, frac_bits=3,
                                      out_dtype=jnp.float32, bias=bias)),
@@ -515,6 +518,8 @@ def test_fused_bias_epilogue_all_kernels(K):
                                       out_dtype=jnp.float32, bias=bias)),
         (lambda bias: qmm.lns4_matmul(x, q4.packed,
                                       out_dtype=jnp.float32, bias=bias)),
+        (lambda bias: qmm.fp4_matmul(x, qn.packed,
+                                     out_dtype=jnp.float32, bias=bias)),
         (lambda bias: qmm.mx_matmul(x, qm.codes, qm.bscale,
                                     out_dtype=jnp.float32, bias=bias)),
         (lambda bias: qmm.fp8_matmul(x, qf.codes, exp_bits=qf.exp_bits,
@@ -543,3 +548,54 @@ def test_lns_decode_bitexact_all_codes():
         got = np.asarray(_lns_decode(codes, f))
         want = np.asarray(unpack_lns(LNSWeight(codes.astype(jnp.uint8), f)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_fp4_pack_matches_fake_quant():
+    """pack_fp4 -> unpack_fp4 reproduces formats.fp4_e2m1 exactly except the
+    top grid point (4.0 merges down to 3.0 — FP4Weight docstring)."""
+    from llm_lns_quantization_tpu.ops.packing import pack_fp4, unpack_fp4
+
+    w = rand((64, 48), seed=51, scale=1.5)
+    w[0, 0] = 0.0
+    w[1, 1] = 5.0    # clamps to 4.0 in the fake grid
+    w[2, 2] = -3.8   # rolls up to -4.0
+    deq = np.asarray(unpack_fp4(pack_fp4(jnp.asarray(w)), jnp.float32))
+    ref = np.asarray(formats.fp4_e2m1(jnp.asarray(w)))
+    mism = deq != ref
+    assert np.all(np.abs(ref[mism]) == 4.0) and np.all(np.abs(deq[mism]) == 3.0)
+    assert deq[0, 0] == 0.25  # zeros follow the fake grid's bottom clamp
+
+
+def test_fp4_matmul_interpret():
+    """Dequant-fused FP4 nibble kernel == XLA dequant matmul, plus the XLA
+    fallback for shapes below Mosaic's tile minimum."""
+    from llm_lns_quantization_tpu.ops.packing import pack_fp4, unpack_fp4
+
+    for K, N in [(256, 512), (64, 48)]:  # kernel path / fallback path
+        w = rand((K, N), seed=52, scale=1.0)
+        q = pack_fp4(jnp.asarray(w))
+        x = jnp.asarray(rand((16, K), seed=53, scale=0.5), jnp.bfloat16)
+        got = np.asarray(qmm.fp4_matmul(x, q.packed, out_dtype=jnp.float32))
+        want = np.asarray(jnp.dot(
+            x.astype(jnp.float32), unpack_fp4(q, jnp.float32),
+            preferred_element_type=jnp.float32,
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fp4_pallas_model_path():
+    """w:fp4;pallas packs matmul weights as FP4Weight and the model forward
+    tracks the fake-quant tier (up to the merged top grid point)."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import FP4Weight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
+    real = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig.parse("w:fp4;pallas"),
+                       dtype=jnp.float32)
+    leaves = jax.tree_util.tree_leaves(
+        real.params, is_leaf=lambda x: isinstance(x, FP4Weight))
+    assert any(isinstance(l, FP4Weight) for l in leaves)
+    out = real.forward(real.params, real.cfg, tokens)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -364,3 +364,29 @@ def test_tp_fp8_sharded_matches_dense():
         c = jax.device_put(q.codes, NamedSharding(mesh, wspec))
         out = jax.jit(fn)(xs, c)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+@requires_multidevice
+def test_tp_fp4_sharded_matches_dense():
+    """FP4 nibble kernel under custom_partitioning (halves-major 3-D gather,
+    same scheme as LNS4): column- and row-parallel shards match unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_fp4
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(7)
+    M, K, N = 16, 128, 2048  # N/2 divisible by 128 per shard
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    q = pack_fp4(w)
+    ref = np.asarray(qmm.fp4_matmul(x, q.packed, out_dtype=jnp.float32))
+
+    fn = lambda a, p: tp.fp4_matmul(a, p, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec in [P(None, "model"), P("model", None)]:
+        p = jax.device_put(q.packed, NamedSharding(mesh, wspec))
+        out = jax.jit(fn)(xs, p)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
