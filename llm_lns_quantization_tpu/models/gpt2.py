@@ -57,6 +57,18 @@ class GPT2Config:
         return cls(**kw)
 
     @classmethod
+    def medium(cls, **kw):  # 355M
+        base = dict(n_embd=1024, n_layer=24, n_head=16)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def xl(cls, **kw):  # 1.5B — serving-regime benchmark preset
+        base = dict(n_embd=1600, n_layer=48, n_head=25)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **kw):  # for tests
         base = dict(vocab_size=256, n_positions=128, n_embd=64, n_layer=2, n_head=4)
         base.update(kw)

@@ -121,6 +121,18 @@ def _lns_decode(u, frac_bits):
 # kernel's packed reads win.
 _XLA_DOT_MIN_M = 1024
 
+# Below this many weight elements, take the XLA path even at small M: the
+# packed-read saving is microseconds while the kernel's per-call overhead and
+# unamortized VPU decode are not (GPT-2-124M decode measured 0.85x bf16 via
+# XLA dequant vs 0.72x via the fused kernel; at 7B-shape weights the fused
+# kernel wins, since an XLA dequant would add a full [K, N] bf16 round-trip
+# to a weight-HBM-bound step). 8M elements ~ the gpt2-xl/1B projection size.
+_FUSED_MIN_WEIGHT = 8 * 2**20
+
+
+def _dispatch_xla(M, K, N):
+    return M >= _XLA_DOT_MIN_M or K * N < _FUSED_MIN_WEIGHT
+
 
 def _xla_dot(x, w, b2d, out_dtype):
     y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b2d
@@ -240,7 +252,7 @@ def lns_matmul(
     assert K == K2, (x.shape, codes.shape)
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
+    if _dispatch_xla(M, K, N):
         # same transcendental-free bit-assembly decode, run by XLA
         return _xla_dot(x, _lns_decode(codes.astype(jnp.int32), frac_bits),
                         b2d, out_dtype)
@@ -327,7 +339,7 @@ def int8_matmul(
     assert K == K2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
+    if _dispatch_xla(M, K, N):
         y = jnp.dot(x, codes.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         return (y * scale.reshape(1, N).astype(jnp.float32) + b2d).astype(out_dtype)
@@ -425,9 +437,9 @@ def lns4_matmul(
     N = N_half * 2
     assert K == K2
     block_m, block_n = _blocks(block_m, block_n)
-    if M >= _XLA_DOT_MIN_M or N_half % 128 != 0 or K % 8 != 0:
-        # compute-bound regime, or layers below Mosaic's (8, 128) tile
-        # minimum once the N axis is halved — decode with XLA instead
+    if _dispatch_xla(M, K, N) or N_half % 128 != 0 or K % 8 != 0:
+        # compute-bound regime, small weights, or layers below Mosaic's
+        # (8, 128) tile minimum once the N axis is halved — XLA instead
         from .packing import LNS4Weight, unpack_lns4
 
         w = unpack_lns4(LNS4Weight(packed), dtype=jnp.bfloat16)
@@ -576,7 +588,7 @@ def w8a8_matmul(
     assert K == K2, (x.shape, codes.shape)
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
+    if _dispatch_xla(M, K, N):
         # XLA also runs the native s8 x s8 MXU dot; per-row dynamic act quant
         # vectorizes fine outside the kernel
         xq, rscale = _w8a8_quant_rows(x)
@@ -766,7 +778,7 @@ def mx_matmul(
     assert K == K2 and K % block_size == 0, (x.shape, codes.shape, block_size)
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
+    if _dispatch_xla(M, K, N):
         w = _mx_decode(codes.astype(jnp.int32), bscale, exp_bits, man_bits,
                        block_size)
         return _xla_dot(x, w, b2d, out_dtype)
@@ -917,7 +929,7 @@ def fp8_matmul(
     assert K == K2, (x.shape, codes.shape)
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
+    if _dispatch_xla(M, K, N):
         w = _fp8_decode(codes.astype(jnp.int32), exp_bits, man_bits, e_bias)
         return _xla_dot(x, w, b2d, out_dtype)
     kernel_args = dict(
@@ -1034,7 +1046,7 @@ def fp4_matmul(
     N = N_half * 2
     assert K == K2
     block_m, block_n = _blocks(block_m, block_n)
-    if M >= _XLA_DOT_MIN_M or N_half % 128 != 0 or K % 8 != 0:
+    if _dispatch_xla(M, K, N) or N_half % 128 != 0 or K % 8 != 0:
         from .packing import FP4Weight, unpack_fp4
 
         w = unpack_fp4(FP4Weight(packed), dtype=jnp.bfloat16)

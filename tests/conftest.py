@@ -30,3 +30,21 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # XLA's DEFAULT matmul precision is reduced (bf16-class on TPU); decode-vs-
 # score and cross-shape consistency tests need true f32 accumulation
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _exercise_fused_kernels():
+    """Unit tests use tiny weights, which the production dispatch would route
+    to the XLA dequant-dot path (ops/matmul.py _FUSED_MIN_WEIGHT) — zero the
+    threshold so kernel tests keep exercising the fused Pallas kernels in
+    interpret mode. test_dispatch_policy restores the default to test the
+    dispatch itself."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+
+    prev = qmm._FUSED_MIN_WEIGHT
+    qmm._FUSED_MIN_WEIGHT = 0
+    yield
+    qmm._FUSED_MIN_WEIGHT = prev

@@ -599,3 +599,26 @@ def test_fp4_pallas_model_path():
     assert any(isinstance(l, FP4Weight) for l in leaves)
     out = real.forward(real.params, real.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dispatch_policy():
+    """Production dispatch: compute-bound (large M) and small-weight matmuls
+    take the XLA dequant-dot path (no pallas_call in the jaxpr); small-M,
+    large-weight matmuls take the fused kernel."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_lns
+
+    qmm._FUSED_MIN_WEIGHT = 8 * 2**20  # restore the production default
+    w_small = pack_lns(jnp.asarray(rand((256, 256), seed=61)))
+    w_big = pack_lns(jnp.asarray(rand((4096, 4096), seed=62, scale=0.02)))
+
+    def has_pallas(fn, *args):
+        return "pallas_call" in str(jax.make_jaxpr(fn)(*args))
+
+    x_small = jnp.zeros((16, 256), jnp.bfloat16)
+    x_big_m = jnp.zeros((2048, 256), jnp.bfloat16)
+    x_decode = jnp.zeros((16, 4096), jnp.bfloat16)
+    f = lambda x, c: qmm.lns_matmul(x, c, frac_bits=3)
+    assert not has_pallas(f, x_small, w_small.codes)   # tiny weight -> XLA
+    assert not has_pallas(f, x_big_m, w_small.codes)   # compute-bound -> XLA
+    assert has_pallas(f, x_decode, w_big.codes)        # decode regime -> fused
