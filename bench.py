@@ -135,6 +135,23 @@ def main():
         _decode_fn(pbundle, ActQuantizer(pquant), DB, DP, DS),
         pbundle.params, prompt, DS,
     )
+    del base, qbundle, pbundle
+
+    # serving-representative decode at 1.5B (gpt2-xl), where weight HBM
+    # traffic dominates: packed int8 weights read half the bytes of bf16 and
+    # the upcast fuses into XLA's matmul operand read (measured 1.3x bf16)
+    XDS = 32
+    xbase = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16)
+    xbase_dec = _decode_throughput(
+        _decode_fn(xbase, ActQuantizer(QuantConfig()), DB, DP, XDS),
+        xbase.params, prompt, XDS, iters=4,
+    )
+    wquant = QuantConfig.parse("w:w8a8;pallas")
+    xq = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16, quant=wquant)
+    xq_dec = _decode_throughput(
+        _decode_fn(xq, ActQuantizer(wquant), DB, DP, XDS),
+        xq.params, prompt, XDS, iters=4,
+    )
 
     print(
         json.dumps(
@@ -149,6 +166,9 @@ def main():
                 "decode_bf16_tokens_per_s": round(base_dec, 1),
                 "decode_pallas_lns8_tokens_per_s": round(p_dec, 1),
                 "decode_vs_baseline": round(p_dec / base_dec, 4),
+                "decode_xl1p5b_bf16_tokens_per_s": round(xbase_dec, 1),
+                "decode_xl1p5b_w8a8_tokens_per_s": round(xq_dec, 1),
+                "decode_xl1p5b_vs_baseline": round(xq_dec / xbase_dec, 4),
                 "batch": B,
                 "seq": T,
                 "device": str(jax.devices()[0]),

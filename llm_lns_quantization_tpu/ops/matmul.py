@@ -121,17 +121,57 @@ def _lns_decode(u, frac_bits):
 # kernel's packed reads win.
 _XLA_DOT_MIN_M = 1024
 
-# Below this many weight elements, take the XLA path even at small M: the
-# packed-read saving is microseconds while the kernel's per-call overhead and
-# unamortized VPU decode are not (GPT-2-124M decode measured 0.85x bf16 via
-# XLA dequant vs 0.72x via the fused kernel; at 7B-shape weights the fused
-# kernel wins, since an XLA dequant would add a full [K, N] bf16 round-trip
-# to a weight-HBM-bound step). 8M elements ~ the gpt2-xl/1B projection size.
-_FUSED_MIN_WEIGHT = 8 * 2**20
+# Minimum weight elements for the fused Pallas kernels. Default: never —
+# every measured regime on v5e favors the XLA path, because XLA fuses the
+# elementwise bit-assembly decode into its matmul operand read (the weight is
+# only ever read packed) AND schedules the matmul better than a hand-tiled
+# Mosaic kernel (in-model, same session: gpt2-124M scoring 0.87x-vs-bf16 XLA
+# vs 0.70x fused; gpt2-xl 1.5B decode 0.83x XLA vs 0.63x fused for LNS8, and
+# 1.30x for int8 where the decode is a free upcast). The fused kernels stay
+# selectable (lower this knob) for research and non-XLA-quality backends.
+_FUSED_MIN_WEIGHT = 1 << 62
 
 
 def _dispatch_xla(M, K, N):
     return M >= _XLA_DOT_MIN_M or K * N < _FUSED_MIN_WEIGHT
+
+
+def _lns4_nib_decode(nib):
+    """4-bit LNS nibble [.., 4 bits] -> bf16 (bit assembly, XLA-fusable)."""
+    k = (nib & 0x7) - 4
+    sbits = (nib & 0x8) << 28
+    base = jax.lax.bitcast_convert_type(
+        (sbits | (((k >> 1) + 127) << 23)).astype(jnp.int32), jnp.float32
+    )
+    m = jnp.where((k & 1) == 1, jnp.float32(2.0**0.5), jnp.float32(1.0))
+    return (base * m).astype(jnp.bfloat16)
+
+
+def _fp4_nib_decode(nib):
+    """E2M1 nibble -> bf16 (pure bit assembly, XLA-fusable)."""
+    sbits = (nib & 0x8) << 28
+    e = ((nib >> 1) & 0x3) + 125
+    mant = (nib & 1) << 22
+    return jax.lax.bitcast_convert_type(
+        (sbits | (e << 23) | mant).astype(jnp.int32), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def _xla_halves_dot(x, packed, nib_decode, b2d, out_dtype):
+    """XLA path for halves-layout nibble weights, as TWO dots.
+
+    A single unpack would concatenate the low/high nibble halves along N —
+    the concat blocks XLA from fusing the decode into the dot's operand read
+    and materializes the full [K, N] bf16 weight in HBM (measured 0.51x bf16
+    on gpt2-xl decode). Decoding each half separately keeps both decodes
+    elementwise producers of their own dot, so the weight is only ever read
+    packed (0.5 bytes/element).
+    """
+    u = packed.astype(jnp.int32)
+    y_lo = jnp.dot(x, nib_decode(u & 0xF), preferred_element_type=jnp.float32)
+    y_hi = jnp.dot(x, nib_decode((u >> 4) & 0xF),
+                   preferred_element_type=jnp.float32)
+    return (jnp.concatenate([y_lo, y_hi], axis=1) + b2d).astype(out_dtype)
 
 
 def _xla_dot(x, w, b2d, out_dtype):
@@ -440,10 +480,8 @@ def lns4_matmul(
     if _dispatch_xla(M, K, N) or N_half % 128 != 0 or K % 8 != 0:
         # compute-bound regime, small weights, or layers below Mosaic's
         # (8, 128) tile minimum once the N axis is halved — XLA instead
-        from .packing import LNS4Weight, unpack_lns4
-
-        w = unpack_lns4(LNS4Weight(packed), dtype=jnp.bfloat16)
-        return _xla_dot(x, w, _bias2d(bias, N), out_dtype)
+        return _xla_halves_dot(x, packed, _lns4_nib_decode,
+                               _bias2d(bias, N), out_dtype)
     block_m = min(block_m, M)
     block_n = min(block_n, N_half)
 
@@ -1047,10 +1085,8 @@ def fp4_matmul(
     assert K == K2
     block_m, block_n = _blocks(block_m, block_n)
     if _dispatch_xla(M, K, N) or N_half % 128 != 0 or K % 8 != 0:
-        from .packing import FP4Weight, unpack_fp4
-
-        w = unpack_fp4(FP4Weight(packed), dtype=jnp.bfloat16)
-        return _xla_dot(x, w, _bias2d(bias, N), out_dtype)
+        return _xla_halves_dot(x, packed, _fp4_nib_decode,
+                               _bias2d(bias, N), out_dtype)
     block_m = min(block_m, M)
     block_n = min(block_n, N_half)
 

@@ -608,7 +608,7 @@ def test_dispatch_policy():
     from llm_lns_quantization_tpu.ops import matmul as qmm
     from llm_lns_quantization_tpu.ops.packing import pack_lns
 
-    qmm._FUSED_MIN_WEIGHT = 8 * 2**20  # restore the production default
+    qmm._FUSED_MIN_WEIGHT = 1 << 62  # restore the production default
     w_small = pack_lns(jnp.asarray(rand((256, 256), seed=61)))
     w_big = pack_lns(jnp.asarray(rand((4096, 4096), seed=62, scale=0.02)))
 
@@ -619,6 +619,13 @@ def test_dispatch_policy():
     x_big_m = jnp.zeros((2048, 256), jnp.bfloat16)
     x_decode = jnp.zeros((16, 4096), jnp.bfloat16)
     f = lambda x, c: qmm.lns_matmul(x, c, frac_bits=3)
-    assert not has_pallas(f, x_small, w_small.codes)   # tiny weight -> XLA
-    assert not has_pallas(f, x_big_m, w_small.codes)   # compute-bound -> XLA
-    assert has_pallas(f, x_decode, w_big.codes)        # decode regime -> fused
+    # production default: XLA everywhere (decode fuses into the dot there)
+    assert not has_pallas(f, x_small, w_small.codes)
+    assert not has_pallas(f, x_big_m, w_small.codes)
+    assert not has_pallas(f, x_decode, w_big.codes)
+    # fused kernels remain selectable for the weight-bound regime
+    qmm._FUSED_MIN_WEIGHT = 8 * 2**20
+    jax.clear_caches()  # the knob is read at trace time
+    assert has_pallas(f, x_decode, w_big.codes)
+    x_score = jnp.zeros((2048, 4096), jnp.bfloat16)
+    assert not has_pallas(f, x_score, w_big.codes)  # still compute-bound
