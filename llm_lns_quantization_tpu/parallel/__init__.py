@@ -17,9 +17,12 @@ from .mesh import (
     shard_params,
 )
 from . import multihost
+from .checkpoint import restore_checkpoint, save_checkpoint
 from .train import make_train_step
 
 __all__ = [
+    "restore_checkpoint",
+    "save_checkpoint",
     "AXIS_DATA",
     "AXIS_MODEL",
     "make_mesh",

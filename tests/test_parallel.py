@@ -390,3 +390,39 @@ def test_tp_fp4_sharded_matches_dense():
         p = jax.device_put(q.packed, NamedSharding(mesh, wspec))
         out = jax.jit(fn)(xs, p)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+@requires_multidevice
+def test_checkpoint_roundtrip_sharded(tmp_path):
+    """Orbax save/restore of sharded QAT state: params (incl. packed
+    quantized weights) + optimizer state round-trip onto the mesh sharding."""
+    from llm_lns_quantization_tpu.parallel import (
+        make_train_step, restore_checkpoint, save_checkpoint,
+    )
+    from llm_lns_quantization_tpu.ops.packing import LNSWeight
+
+    mesh = make_mesh(shape=(2, 4))
+    bundle = build_model(
+        family="llama", preset="tiny",
+        quant=QuantConfig.parse("w:lns8;pallas"),
+        config_overrides=dict(hidden_size=64, intermediate_size=128),
+    )
+    step_fn, init_opt = make_train_step(bundle, mesh)
+    params = shard_params(bundle.params, bundle, mesh)
+    opt_state = init_opt(params)
+
+    path = save_checkpoint(str(tmp_path / "ckpt"), params, opt_state, step=3)
+    item = restore_checkpoint(path, params_like=params,
+                              opt_state_like=opt_state)
+    assert item["step"] == 3
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(item["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding == a.sharding
+    # packed quantized weights survived as wrappers
+    packed = [l for l in jax.tree_util.tree_leaves(
+        item["params"], is_leaf=lambda x: isinstance(x, LNSWeight))
+        if isinstance(l, LNSWeight)]
+    assert packed
