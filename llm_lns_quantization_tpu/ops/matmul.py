@@ -81,36 +81,73 @@ def _bias2d(bias, N):
     return bias.reshape(1, N).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _lns_mant_words(frac_bits):
+    """bf16 mantissas of 2^(r / 2^frac_bits), r in [0, 2^f), packed 4-per-u32.
+
+    Each entry is the 7-bit mantissa field of the bf16 rounding of the f32
+    value (matching the old f32-compute-then-cast semantics bit for bit,
+    verified over the full code grid in tests).
+    """
+    import ml_dtypes
+    import numpy as np
+
+    n = 1 << frac_bits
+    mants = [
+        int(
+            np.asarray(np.float32(2.0 ** (r / n)), ml_dtypes.bfloat16)
+            .view(np.uint16)
+        )
+        & 0x7F
+        for r in range(n)
+    ]
+    mants += [0] * (-len(mants) % 4)
+    return tuple(
+        mants[i] | (mants[i + 1] << 8) | (mants[i + 2] << 16)
+        | (mants[i + 3] << 24)
+        for i in range(0, len(mants), 4)
+    )
+
+
 def _lns_decode(u, frac_bits):
-    """uint8 LNS code -> bf16 value, without transcendentals.
+    """uint8 LNS code -> bf16 value: pure integer bit-assembly, no floats.
 
     value = sign * 2^(k / 2^f) with k = (u & 0x7F) - 64. Split k = 2^f*e + r:
-    the integer part (and the sign bit) are assembled directly into float32
-    exponent/sign bits with integer ops; the fractional part multiplies by
-    one of 2^f correctly-rounded constants picked by a select tree. Exact to
-    f32 rounding — and cheaper on the VPU than exp2, which matters because
-    the decode is the non-MXU cost of every quantized matmul.
+    sign and integer exponent go straight into the float32 sign/exponent
+    fields; the fractional part contributes a 7-bit bf16 mantissa looked up
+    from packed u32 constant words by a variable shift (r's bits are u's low
+    bits, untouched by the -64). The assembled f32 is exactly the bf16 value
+    (bf16 = f32 with a 7-bit mantissa), so the final cast is exact — and the
+    whole decode is shifts/ands/ors, as cheap as the FP8 decode. This is the
+    non-MXU cost of every LNS matmul, so op count here is throughput.
     """
     f = frac_bits
+    words = _lns_mant_words(f)
+    if len(words) > 4:  # f > 4: fall back to a per-bit multiplier chain
+        k = (u & 0x7F) - 64
+        base = jax.lax.bitcast_convert_type(
+            (((u & 0x80) << 24) | (((k >> f) + 127) << 23)).astype(jnp.int32),
+            jnp.float32,
+        )
+        m = base
+        for i in range(f):
+            m = m * jnp.where(
+                (u & (1 << i)) != 0, jnp.float32(2.0 ** (2**i / (1 << f))),
+                jnp.float32(1.0),
+            )
+        return m.astype(jnp.bfloat16)
     k = (u & 0x7F) - 64
     e = (k >> f) + 127  # arithmetic shift: floor division for negative k
     sbits = (u & 0x80) << 24  # sign -> float32 bit 31
-    base = jax.lax.bitcast_convert_type(
-        (sbits | (e << 23)).astype(jnp.int32), jnp.float32
-    )
-    # fractional multiplier as a product of per-bit factors: r's low bits are
-    # u's low bits (subtracting 64 leaves bits < 6 untouched), so each factor
-    # is one bit test + select, log2 the ops of the flat equality tree. The
-    # chained f32 products land within 1 ULP of the correctly-rounded
-    # constants, which is exact after the bf16 cast (verified over the full
-    # 128-code grid).
-    m = base
-    for i in range(f):
-        m = m * jnp.where(
-            (u & (1 << i)) != 0, jnp.float32(2.0 ** (2**i / (1 << f))),
-            jnp.float32(1.0),
-        )
-    return m.astype(jnp.bfloat16)
+    r = u & ((1 << f) - 1)
+    word = jnp.int32(words[-1])
+    for i in range(len(words) - 1):  # select the u32 word holding mant[r]
+        word = jnp.where(r < 4 * (i + 1), jnp.int32(words[i]), word)
+    mant = (word >> ((r & 3) * 8)) & 0x7F
+    bits = sbits | (e << 23) | (mant << 16)
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.int32), jnp.float32
+    ).astype(jnp.bfloat16)
 
 
 # Above this many activation rows the matmul is compute-bound and XLA's
@@ -137,14 +174,18 @@ def _dispatch_xla(M, K, N):
 
 
 def _lns4_nib_decode(nib):
-    """4-bit LNS nibble [.., 4 bits] -> bf16 (bit assembly, XLA-fusable)."""
+    """4-bit LNS nibble [.., 4 bits] -> bf16 (pure bit assembly).
+
+    2^(k/2) = 2^(k>>1) * (1 or sqrt2); sqrt2's bf16 mantissa (0x35) is OR-ed
+    in directly from the nibble's low bit — no float multiply, exact in bf16.
+    """
     k = (nib & 0x7) - 4
     sbits = (nib & 0x8) << 28
-    base = jax.lax.bitcast_convert_type(
-        (sbits | (((k >> 1) + 127) << 23)).astype(jnp.int32), jnp.float32
-    )
-    m = jnp.where((k & 1) == 1, jnp.float32(2.0**0.5), jnp.float32(1.0))
-    return (base * m).astype(jnp.bfloat16)
+    mant = (nib & 1) * (0x35 << 16)  # bf16 mantissa of sqrt(2), f32-aligned
+    return jax.lax.bitcast_convert_type(
+        (sbits | (((k >> 1) + 127) << 23) | mant).astype(jnp.int32),
+        jnp.float32,
+    ).astype(jnp.bfloat16)
 
 
 def _fp4_nib_decode(nib):
@@ -442,15 +483,9 @@ def _lns4_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
         # j >= n_half_tiles reads the high nibbles (columns [N/2, N)). One
         # vector select — no lane interleave (Mosaic can't shape-cast one).
         nib = jnp.where(j < n_half_tiles, u & 0xF, (u >> 4) & 0xF)
-        # bit-assembled 2^(k/2): integer part + sign into f32 bits, one
-        # select for the half-step (see _lns_decode)
-        k = (nib & 0x7) - 4
-        sbits = (nib & 0x8) << 28  # nibble sign bit 3 -> float32 bit 31
-        base = jax.lax.bitcast_convert_type(
-            (sbits | (((k >> 1) + 127) << 23)).astype(jnp.int32), jnp.float32
-        )
-        m = jnp.where((k & 1) == 1, jnp.float32(2.0**0.5), jnp.float32(1.0))
-        wdec_ref[...] = (base * m).astype(jnp.bfloat16)
+        # pure bit-assembled 2^(k/2): sign + integer exponent + sqrt2's bf16
+        # mantissa OR-ed in from the half-step bit (see _lns4_nib_decode)
+        wdec_ref[...] = _lns4_nib_decode(nib)
 
     o_ref[...] = (
         jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)
