@@ -20,7 +20,15 @@ from .cache import CachingLM
 
 decontaminate_suffix = "_decontaminate"
 
-_HF_FAMILY = {"gpt2": "gpt2", "llama": "llama", "opt": "opt"}
+_HF_FAMILY = {
+    "gpt2": "gpt2",
+    "llama": "llama",
+    "opt": "opt",
+    "gpt_neo": "neo",
+    "gptj": "gptj",
+    "gpt_neox": "neox",
+    "bloom": "bloom",
+}
 
 
 def _is_hf_model(model) -> bool:

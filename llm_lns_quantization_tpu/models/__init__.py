@@ -18,6 +18,7 @@ from . import bloom as bloom_mod
 from . import gpt2 as gpt2_mod
 from . import gptj as gptj_mod
 from . import llama as llama_mod
+from . import neo as neo_mod
 from . import neox as neox_mod
 from . import opt as opt_mod
 from . import t5 as t5_mod
@@ -40,6 +41,7 @@ _FAMILIES = {
     "gpt2": (gpt2_mod, "GPT2Config"),
     "gptj": (gptj_mod, "GPTJConfig"),
     "llama": (llama_mod, "LlamaConfig"),
+    "neo": (neo_mod, "NeoConfig"),
     "neox": (neox_mod, "NeoXConfig"),
     "opt": (opt_mod, "OPTConfig"),
     "t5": (t5_mod, "T5Config"),

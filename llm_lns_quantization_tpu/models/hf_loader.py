@@ -73,6 +73,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_llama(cfg_json, tensors, dtype, overrides)
     if family == "gptj":
         return _load_gptj(cfg_json, tensors, dtype, overrides)
+    if family == "neo":
+        return _load_neo(cfg_json, tensors, dtype, overrides)
     if family == "neox":
         return _load_neox(cfg_json, tensors, dtype, overrides)
     if family == "bloom":
@@ -133,6 +135,64 @@ def _load_gpt2(cfg_json, tensors, dtype, overrides):
                     "c_fc_b": _j(t[pre + "mlp.c_fc.bias"], dtype),
                     "c_proj_w": _j(t[pre + "mlp.c_proj.weight"], dtype),
                     "c_proj_b": _j(t[pre + "mlp.c_proj.bias"], dtype),
+                },
+            }
+        )
+    return cfg, params
+
+
+def _load_neo(cfg_json, tensors, dtype, overrides):
+    """GPT-Neo (HF ``GPTNeoForCausalLM``): bias-free q/k/v, biased out_proj,
+    alternating global/local attention per ``attention_types``; torch Linear
+    weights transposed into our [in, out] layout; lm_head tied to wte."""
+    from .neo import NeoConfig
+
+    # attention_types = [[["global","local"], N], ...] -> flat per-layer tuple
+    attention_layers = []
+    for types, repeat in cfg_json.get("attention_types") or []:
+        attention_layers.extend(list(types) * repeat)
+
+    cfg = NeoConfig(
+        vocab_size=cfg_json["vocab_size"],
+        n_positions=cfg_json["max_position_embeddings"],
+        n_embd=cfg_json["hidden_size"],
+        n_layer=cfg_json["num_layers"],
+        n_head=cfg_json["num_heads"],
+        intermediate_size=cfg_json.get("intermediate_size"),
+        window_size=cfg_json.get("window_size", 256),
+        attention_layers=tuple(attention_layers),
+        layer_norm_epsilon=cfg_json.get("layer_norm_epsilon", 1e-5),
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors)
+    params = {
+        "wte": _j(t["wte.weight"], dtype),
+        "wpe": _j(t["wpe.weight"], dtype),
+        "ln_f": {"g": _j(t["ln_f.weight"], dtype), "b": _j(t["ln_f.bias"], dtype)},
+        "h": [],
+    }
+    for i in range(cfg.n_layer):
+        pre = f"h.{i}."
+        att = pre + "attn.attention."
+        params["h"].append(
+            {
+                "ln_1": {"g": _j(t[pre + "ln_1.weight"], dtype), "b": _j(t[pre + "ln_1.bias"], dtype)},
+                "ln_2": {"g": _j(t[pre + "ln_2.weight"], dtype), "b": _j(t[pre + "ln_2.bias"], dtype)},
+                "q_proj": _j(t[att + "q_proj.weight"], dtype).T,
+                "k_proj": _j(t[att + "k_proj.weight"], dtype).T,
+                "v_proj": _j(t[att + "v_proj.weight"], dtype).T,
+                "out_proj": {
+                    "w": _j(t[att + "out_proj.weight"], dtype).T,
+                    "b": _j(t[att + "out_proj.bias"], dtype),
+                },
+                "c_fc": {
+                    "w": _j(t[pre + "mlp.c_fc.weight"], dtype).T,
+                    "b": _j(t[pre + "mlp.c_fc.bias"], dtype),
+                },
+                "c_proj": {
+                    "w": _j(t[pre + "mlp.c_proj.weight"], dtype).T,
+                    "b": _j(t[pre + "mlp.c_proj.bias"], dtype),
                 },
             }
         )

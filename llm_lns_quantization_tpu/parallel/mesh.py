@@ -83,6 +83,15 @@ _RULES = {
         (r"fc_in/b$", P(AXIS_MODEL)),
         (r"fc_out/w$", P(AXIS_MODEL, None)),
     ],
+    "neo": [
+        (r"wte$", P(None, AXIS_MODEL)),
+        (r"wpe$", P(None, AXIS_MODEL)),
+        (r"[qkv]_proj$", P(None, AXIS_MODEL)),
+        (r"out_proj/w$", P(AXIS_MODEL, None)),
+        (r"c_fc/w$", P(None, AXIS_MODEL)),
+        (r"c_fc/b$", P(AXIS_MODEL)),
+        (r"c_proj/w$", P(AXIS_MODEL, None)),
+    ],
     "neox": [
         (r"embed_in$", P(None, AXIS_MODEL)),
         (r"embed_out$", P(None, AXIS_MODEL)),

@@ -361,6 +361,30 @@ def test_neox_matches_hf(tmp_path_factory, token_batch, parallel):
     _logits_close(ours, theirs)
 
 
+def test_neo_matches_hf(tmp_path_factory, token_batch):
+    """GPT-Neo: alternating global/local (sliding-window) attention,
+    UNscaled attention scores, bias-free q/k/v, tied lm_head. The 12-token
+    batch with window_size=4 makes the local layers actually mask."""
+    cfg = transformers.GPTNeoConfig(
+        vocab_size=256, hidden_size=32, num_layers=2, num_heads=4,
+        max_position_embeddings=64, window_size=4,
+        attention_types=[[["global", "local"], 1]],
+        resid_dropout=0.0, embed_dropout=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(13)
+    model = transformers.GPTNeoForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("neo")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="neo", checkpoint=str(path), dtype=jnp.float32)
+    assert bundle.cfg.attention_layers == ("global", "local")
+    assert bundle.cfg.window_size == 4
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = model(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
+
+
 def test_gptj_matches_hf(tmp_path_factory, token_batch):
     """GPT-J: interleaved (rotate-every-two) partial rotary, one shared
     ln_1 feeding parallel attention+MLP, biased lm_head."""

@@ -17,7 +17,7 @@ from llm_lns_quantization_tpu.models import build_model
 from llm_lns_quantization_tpu.quant import QuantConfig
 
 
-@pytest.fixture(scope="module", params=["gpt2", "llama", "opt", "neox", "gptj", "bloom"])
+@pytest.fixture(scope="module", params=["gpt2", "llama", "opt", "neo", "neox", "gptj", "bloom"])
 def bundle(request):
     return build_model(family=request.param, preset="tiny", seed=0)
 

@@ -36,7 +36,7 @@ def test_mesh_shape_heuristic():
 
 
 @requires_multidevice
-@pytest.mark.parametrize("family", ["gpt2", "llama", "opt", "neox", "gptj", "bloom"])
+@pytest.mark.parametrize("family", ["gpt2", "llama", "opt", "neo", "neox", "gptj", "bloom"])
 def test_sharded_forward_matches_single_device(family):
     mesh = make_mesh(shape=(2, 4))
     overrides = {}
