@@ -96,6 +96,25 @@ def _restore_dtype(fn):
 # ---------------------------------------------------------------------------
 
 
+def _fp_round(out, man_bits: int):
+    """Exact FP-grid rounding of clamped values, as integer bit arithmetic.
+
+    ``round((|v|/2^floor(log2|v|) - 1) * 2^man_bits)`` reconstructed — every
+    step is exact in float32, so it reduces to round-half-even on the top
+    ``man_bits`` float32 mantissa bits ((half-1+lsb) add, then truncate),
+    with the overflow carry propagating into the exponent field. The formula
+    is sign-symmetric (the ±1 offsets shift the rounded quantity by the
+    integer 2^man_bits, which RNE ignores), so computing on |v| and restoring
+    the sign is bit-identical to the reference's signed recipe.
+    """
+    bits = jax.lax.bitcast_convert_type(jnp.abs(out), jnp.int32)
+    m23 = bits & 0x7FFFFF
+    sh = 23 - man_bits
+    mq = (m23 + (1 << (sh - 1)) - 1 + ((m23 >> sh) & 1)) >> sh
+    q = jax.lax.bitcast_convert_type((bits - m23) + (mq << sh), jnp.float32)
+    return jnp.where(out > 0, q, jnp.where(out < 0, -q, out))
+
+
 @_restore_dtype
 def fp_quant(
     x: Array,
@@ -114,18 +133,22 @@ def fp_quant(
 
     Recipe: clamp, ``e = floor(log2|x|)``, ``m = round((x/2^e - 1)*2^man_bits)``,
     reconstruct ``(m/2^man_bits + 1) * 2^e``.
+
+    Implementation: every step of that recipe is exact in float32
+    (``floor(log2)`` is the biased exponent field, the division is a power of
+    two, the reconstruction writes mantissa bits back), so it runs as pure
+    integer bit arithmetic on the float32 representation — round-half-even on
+    the top ``man_bits`` mantissa bits, with the overflow carry incrementing
+    the exponent field. Bit-identical to the formula, with no
+    transcendentals: this is the throughput-critical op of the FP8/FP4
+    activation-emulation path (it runs on every quant site's [B, T, C]).
     """
-    scale = float(2**man_bits)
     threshold_clamp = 2 ** (exp_bits - 1)
     up = float(2**threshold_clamp) * clamp_up_mul
     down = float(2.0**-threshold_clamp) * clamp_down_mul
 
     out = _signed_clamp(x, down, up)
-    exponent = jnp.ldexp(
-        jnp.float32(1.0), jnp.floor(jnp.log2(jnp.abs(out))).astype(jnp.int32)
-    )
-    mantissa_bits = jnp.round((out / exponent - 1.0) * scale)
-    return (mantissa_bits / scale + 1.0) * exponent
+    return _fp_round(out, man_bits)
 
 
 fp8_e4m3 = partial(fp_quant, exp_bits=4, man_bits=3, clamp_up_mul=0.5, clamp_down_mul=10.0)
@@ -138,6 +161,28 @@ fp4_e2m1 = partial(fp_quant, exp_bits=2, man_bits=1)
 # ---------------------------------------------------------------------------
 
 
+def _lns_grid_tables(frac_bits):
+    """Rounding boundaries and grid mantissas for the 2^f-per-binade LNS grid.
+
+    Boundary i (1-based) separates codes i-1 and i within a binade:
+    mantissa m = 1 + m23/2^23 rounds to code i iff m >= 2^((i-0.5)/2^f) —
+    irrational, so the mathematically exact rounding has no ties. Grid
+    mantissas are the correctly-rounded float32 mantissa fields of 2^(r/2^f).
+    """
+    import numpy as np
+
+    n = 1 << frac_bits
+    bounds = [
+        int(np.ceil((2.0 ** ((i - 0.5) / n) - 1.0) * (1 << 23)))
+        for i in range(1, n + 1)
+    ]
+    mants = [
+        int(np.asarray(2.0 ** (r / n), np.float32).view(np.uint32)) & 0x7FFFFF
+        for r in range(n)
+    ]
+    return bounds, mants
+
+
 @_restore_dtype
 def lns_quant(x: Array, man_bits: int = 4, frac_bits: int = 3) -> Array:
     """Plain LNS fake-quant: ``sign(x) * 2^(round(log2|x| * 2^f) / 2^f)``.
@@ -146,14 +191,34 @@ def lns_quant(x: Array, man_bits: int = 4, frac_bits: int = 3) -> Array:
     and LNS4 block (huggingface.py:1430-1486; man_bits=2, frac_bits=1).
     ``man_bits`` bounds the exponent's integer range via the pre-clamp to
     ``[2^-2^(m-1), 2^2^(m-1)]``.
+
+    Implementation: mathematically exact rounding onto the LNS grid with no
+    transcendentals. The binade (integer part of log2) is the float32
+    exponent field; the fractional code is the count of per-binade mantissa
+    boundaries crossed (2^f compares — the boundaries 2^((i-0.5)/2^f) are
+    irrational so exact rounding has no ties); the result's mantissa bits
+    come from a correctly-rounded constant table. This is the throughput-
+    critical op of the LNS activation-emulation path; the libm-log2 recipe
+    it replaces could differ only for inputs within ~1 ulp of a rounding
+    boundary (covered by the parity suite's tie tolerance).
     """
-    scale = float(2**frac_bits)
     threshold_clamp = 2 ** (man_bits - 1)
     up = float(2**threshold_clamp)
     down = float(2.0**-threshold_clamp)
+    bounds, mants = _lns_grid_tables(frac_bits)
 
     out = _signed_clamp(x, down, up)
-    q = _exp2(jnp.round(jnp.log2(jnp.abs(out)) * scale) / scale)
+    bits = jax.lax.bitcast_convert_type(jnp.abs(out), jnp.int32)
+    m23 = bits & 0x7FFFFF
+    j = (m23 >= bounds[0]).astype(jnp.int32)
+    for b in bounds[1:]:
+        j += (m23 >= b).astype(jnp.int32)
+    e_out = (bits >> 23) + (j >> frac_bits)
+    r = j & ((1 << frac_bits) - 1)
+    mant = jnp.int32(mants[-1])
+    for i in range(len(mants) - 1):
+        mant = jnp.where(r == i, jnp.int32(mants[i]), mant)
+    q = jax.lax.bitcast_convert_type((e_out << 23) | mant, jnp.float32)
     return jnp.where(out > 0, q, jnp.where(out < 0, -q, out))
 
 
@@ -349,7 +414,6 @@ def mx_block_quant(
     """
     if x.ndim < 2:
         raise ValueError("mx_block_quant expects rank >= 2")
-    scale = float(2**man_bits)
     threshold_clamp = 2 ** (exp_bits - 1)
     up = float(2**threshold_clamp)
     down = float(2.0**-threshold_clamp)
@@ -366,11 +430,7 @@ def mx_block_quant(
 
     scaled = xb * coeff
     out = _signed_clamp(scaled, down, up)
-    exponent = jnp.ldexp(
-        jnp.float32(1.0), jnp.floor(jnp.log2(jnp.abs(out))).astype(jnp.int32)
-    )
-    mantissa_bits = jnp.round((out / exponent - 1.0) * scale)
-    out = (mantissa_bits / scale + 1.0) * exponent
+    out = _fp_round(out, man_bits)  # exact integer-bit FP rounding, no logs
     out = out / coeff
 
     out = out.reshape(*lead, num_blocks * block_size, cols)
