@@ -54,8 +54,22 @@ def make_train_step(
 
     def init_opt_state(params):
         # optimizer moments are created from the (already-sharded) params and
-        # inherit their shardings leaf by leaf
-        return tx.init(params)
+        # inherit their shardings leaf by leaf (zeros_like preserves
+        # NamedSharding). Fresh scalars (optax step counters) come out
+        # single-device instead; pin them to a replicated mesh sharding so
+        # the state is a valid orbax restore template — a checkpoint restored
+        # onto a single-device-committed counter conflicts with the
+        # mesh-sharded params inside the jitted train step.
+        replicated = NamedSharding(mesh, P())
+
+        def _pin(x):
+            if hasattr(x, "sharding") and not isinstance(
+                x.sharding, NamedSharding
+            ):
+                return jax.device_put(x, replicated)
+            return x
+
+        return jax.tree_util.tree_map(_pin, tx.init(params))
 
     # shardings are carried by the arguments themselves (params via
     # parallel.shard_params, tokens via parallel.data_sharding); jit

@@ -426,3 +426,34 @@ def test_checkpoint_roundtrip_sharded(tmp_path):
         item["params"], is_leaf=lambda x: isinstance(x, LNSWeight))
         if isinstance(l, LNSWeight)]
     assert packed
+
+
+@requires_multidevice
+def test_train_qat_cli_runs_and_resumes(tmp_path, monkeypatch):
+    """scripts/train_qat.py end-to-end on the CPU mesh: a short synthetic QAT
+    run checkpoints, and --resume continues from the saved step."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_qat",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "train_qat.py"),
+    )
+    train_qat = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_qat)
+
+    ckpt = str(tmp_path / "qat_ckpt")
+    base = [
+        "train_qat.py", "--family", "gpt2", "--preset", "tiny",
+        "--quant", "a:lns8", "--seq_len", "32", "--batch_size", "2",
+        "--mesh", "2,4", "--ckpt_dir", ckpt, "--save_every", "4",
+        "--log_every", "2",
+    ]
+    monkeypatch.setattr("sys.argv", base + ["--steps", "4"])
+    loss_a = train_qat.main()
+    assert np.isfinite(loss_a)
+    assert os.path.isdir(ckpt)
+
+    monkeypatch.setattr("sys.argv", base + ["--steps", "8", "--resume"])
+    loss_b = train_qat.main()
+    assert np.isfinite(loss_b)
