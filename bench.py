@@ -54,11 +54,13 @@ def _throughput(fn, params, tokens, targets, mask, iters=64):
 
 def _decode_fn(bundle, actq, batch, prompt_len, steps):
     """Greedy KV-cache decode loop: the memory-bound serving regime where
-    packed (1-byte) weights halve HBM traffic vs bf16."""
+    packed (1-byte) weights halve HBM traffic vs bf16. The cache honours the
+    quant config's ``kv:`` mode (int8/fp8)."""
     cfg = bundle.cfg
+    kv = actq.config.kv_cache or False
 
     def fn(params, prompt):
-        cache = bundle.init_cache(cfg, batch, prompt_len + steps)
+        cache = bundle.init_cache(cfg, batch, prompt_len + steps, kv_quant=kv)
         logits, cache = bundle.forward(
             params, cfg, prompt, actq, cache=cache, cache_index=0
         )
