@@ -136,15 +136,18 @@ def _lns_decode(u, frac_bits):
                 jnp.float32(1.0),
             )
         return m.astype(jnp.bfloat16)
-    k = (u & 0x7F) - 64
-    e = (k >> f) + 127  # arithmetic shift: floor division for negative k
+    # exponent field folded: ((k >> f) + 127) << 23 with k = (u & 0x7F) - 64
+    # equals the masked high code bits shifted into place plus a constant
+    # (64 is a multiple of 2^f, so the bias never borrows from the r bits)
     sbits = (u & 0x80) << 24  # sign -> float32 bit 31
+    ef = (u & (0x7F & ~((1 << f) - 1))) << (23 - f)
+    e_const = (127 - (64 >> f)) << 23
     r = u & ((1 << f) - 1)
     word = jnp.int32(words[-1])
     for i in range(len(words) - 1):  # select the u32 word holding mant[r]
         word = jnp.where(r < 4 * (i + 1), jnp.int32(words[i]), word)
     mant = (word >> ((r & 3) * 8)) & 0x7F
-    bits = sbits | (e << 23) | (mant << 16)
+    bits = sbits + (ef + e_const) + (mant << 16)  # disjoint fields: no carries
     return jax.lax.bitcast_convert_type(
         bits.astype(jnp.int32), jnp.float32
     ).astype(jnp.bfloat16)

@@ -10,6 +10,7 @@ packed-size + one bf16 leaf). Batch-8 greedy KV-cache decode after a
     python scripts/bench_serving_7b.py [fmt ...]   # default: w8a8, fp8, lns8
 """
 
+import argparse
 import gc
 import json
 import sys
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-from bench import _decode_fn, _decode_throughput  # noqa: E402
+from bench import _decode_fn, _decode_throughput, _score_fn, _throughput  # noqa: E402
 
 
 def _host_params(cfg, llama):
@@ -46,8 +47,16 @@ def main():
     from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
     from llm_lns_quantization_tpu.quant.apply import quantize_weights
 
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("formats", nargs="*",
+                    default=["w:w8a8;pallas", "w:fp8;pallas", "w:lns8;pallas"])
+    ap.add_argument("--score", action="store_true",
+                    help="measure the compute-bound score step (B=8 x T=1024) "
+                         "instead of serving decode")
+    args = ap.parse_args()
+
     tpu = jax.devices()[0]
-    specs = sys.argv[1:] or ["w:w8a8;pallas", "w:fp8;pallas", "w:lns8;pallas"]
+    specs = args.formats
 
     cfg = llama.LlamaConfig.llama2_7b(dtype=jnp.bfloat16)
     t0 = time.time()
@@ -63,18 +72,30 @@ def main():
         )
 
     DB, DP, DS = 8, 128, 32
+    SB, ST = 8, 1024
     rng = np.random.default_rng(1)
     prompt = jnp.asarray(rng.integers(0, 32000, (DB, DP)).astype(np.int32))
+    stoks = jnp.asarray(rng.integers(0, 32000, (SB, ST)).astype(np.int32))
+    stgts = jnp.asarray(rng.integers(0, 32000, (SB, ST)).astype(np.int32))
+    smask = jnp.ones((SB, ST), bool)
 
+    def measure(bundle, quant):
+        actq = ActQuantizer(quant)
+        if args.score:
+            return _throughput(_score_fn(bundle, actq), bundle.params,
+                               stoks, stgts, smask, iters=8)
+        return _decode_throughput(
+            _decode_fn(bundle, actq, DB, DP, DS),
+            bundle.params, prompt, DS, iters=4,
+        )
+
+    key = "score_tokens_per_s" if args.score else "decode_tokens_per_s"
     t0 = time.time()
     dev_params = jax.tree_util.tree_map(lambda a: jax.device_put(a, tpu), host)
     jax.block_until_ready(dev_params)
     b = bundle_with(dev_params)
-    base_dec = _decode_throughput(
-        _decode_fn(b, ActQuantizer(QuantConfig()), DB, DP, DS),
-        b.params, prompt, DS, iters=4,
-    )
-    print(json.dumps({"format": "bf16", "decode_tokens_per_s": round(base_dec, 1),
+    base_tps = measure(b, QuantConfig())
+    print(json.dumps({"format": "bf16", key: round(base_tps, 1),
                       "t_wall_s": round(time.time() - t0, 1)}), flush=True)
     del dev_params, b
     gc.collect()
@@ -87,16 +108,13 @@ def main():
         qparams = jax.device_put(qparams, tpu)  # move remaining host leaves
         jax.block_until_ready(qparams)
         qb = bundle_with(qparams)
-        q_dec = _decode_throughput(
-            _decode_fn(qb, ActQuantizer(quant), DB, DP, DS),
-            qb.params, prompt, DS, iters=4,
-        )
+        q_tps = measure(qb, quant)
         del qparams, qb
         gc.collect()
         print(json.dumps({
             "format": spec,
-            "decode_tokens_per_s": round(q_dec, 1),
-            "vs_bf16": round(q_dec / base_dec, 4),
+            key: round(q_tps, 1),
+            "vs_bf16": round(q_tps / base_tps, 4),
             "t_wall_s": round(time.time() - t0, 1),
         }), flush=True)
 
