@@ -143,8 +143,12 @@ def _lns_decode(u, frac_bits):
     ef = (u & (0x7F & ~((1 << f) - 1))) << (23 - f)
     e_const = (127 - (64 >> f)) << 23
     r = u & ((1 << f) - 1)
+    # select the u32 word holding mant[r]: word = words[r >> 2]. The chain
+    # must apply the SMALLEST-index condition last (descending i) so an
+    # earlier threshold overrides later ones — ascending order picks the
+    # wrong word whenever there are >2 words (f = 4).
     word = jnp.int32(words[-1])
-    for i in range(len(words) - 1):  # select the u32 word holding mant[r]
+    for i in reversed(range(len(words) - 1)):
         word = jnp.where(r < 4 * (i + 1), jnp.int32(words[i]), word)
     mant = (word >> ((r & 3) * 8)) & 0x7F
     bits = sbits + (ef + e_const) + (mant << 16)  # disjoint fields: no carries

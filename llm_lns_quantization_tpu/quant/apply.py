@@ -59,6 +59,7 @@ _PACKABLE = (
     "/wi", "/wi_0", "/wi_1", "/wo",                        # t5 ffn
     "qkv_w", "dense_w", "fc_w", "proj_w",                  # neox
     "out_proj", "fc_in/w", "fc_out/w",                     # gptj
+    "c_fc/w", "c_proj/w",                                  # gpt-neo mlp
 )
 
 # format name -> (frac_bits, man_bits) for LNS packing

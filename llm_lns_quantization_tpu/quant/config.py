@@ -110,6 +110,10 @@ class QuantConfig:
         for name in (weights, acts):
             if name is not None:
                 get_format(name)  # validate eagerly
+        if kv is not None and kv not in ("int8", "fp8"):
+            # init_cache branches on the string: anything truthy that is not
+            # "fp8" would silently select the int8 cache
+            raise ValueError(f"unknown kv cache mode {kv!r}; have: int8, fp8")
         return cls(weights=weights, acts=acts, kv_cache=kv, use_pallas=use_pallas)
 
     def describe(self) -> str:

@@ -48,7 +48,7 @@ hooks ran in the model's fp32/fp16 compute dtype; fp32 is what its published
 experiments used) and casts back to the input dtype at the end.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -161,6 +161,7 @@ fp4_e2m1 = partial(fp_quant, exp_bits=2, man_bits=1)
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
 def _lns_grid_tables(frac_bits):
     """Rounding boundaries and grid mantissas for the 2^f-per-binade LNS grid.
 

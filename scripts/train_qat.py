@@ -72,7 +72,10 @@ def _token_stream(args, vocab_size):
             if not line:
                 continue
             if line.startswith("{"):
-                line = json.loads(line).get("text", "")
+                try:  # JSONL row; plain-text lines may also start with '{'
+                    line = json.loads(line).get("text", "")
+                except json.JSONDecodeError:
+                    pass
             toks.extend(tok.encode(line))
             toks.append(tok.eot_token_id)
     return np.asarray(toks, np.int32)
@@ -81,6 +84,12 @@ def _token_stream(args, vocab_size):
 def _batches(stream, batch_size, seq_len, seed):
     """Yield [B, T+1] windows forever (shuffled starts, deterministic)."""
     n_windows = max(1, (len(stream) - 1) // seq_len)
+    if n_windows < batch_size:
+        raise ValueError(
+            f"corpus has only {n_windows} windows of seq_len={seq_len} "
+            f"(need >= batch_size={batch_size}); provide more data or "
+            f"shrink --batch_size/--seq_len"
+        )
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(n_windows)
@@ -144,6 +153,8 @@ def main():
 
     stream = _token_stream(args, bundle.cfg.vocab_size)
     batches = _batches(stream, args.batch_size, args.seq_len, args.seed)
+    for _ in range(start_step):  # resume continues the stream, not replays it
+        next(batches)
     dsh = data_sharding(mesh)
 
     t0 = time.time()
@@ -166,7 +177,9 @@ def main():
             )
         if args.ckpt_dir and (step + 1) % args.save_every == 0:
             save_checkpoint(args.ckpt_dir, params, opt_state, step=step + 1)
-    if args.ckpt_dir:
+    if args.ckpt_dir and args.steps > start_step:
+        # skip when no steps ran (e.g. --resume past --steps): a rewrite
+        # would stamp a LOWER step onto the restored params
         save_checkpoint(args.ckpt_dir, params, opt_state, step=args.steps)
         print(f"saved {args.ckpt_dir}", flush=True)
     return loss

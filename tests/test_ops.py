@@ -543,11 +543,12 @@ def test_lns_decode_bitexact_all_codes():
     from llm_lns_quantization_tpu.ops.matmul import _lns_decode
     from llm_lns_quantization_tpu.ops.packing import LNSWeight, unpack_lns
 
-    for f in (3, 1):
+    # f=4 exercises the 4-word mantissa LUT select chain (f=3/1 use <= 2)
+    for f in (4, 3, 2, 1):
         codes = jnp.arange(256, dtype=jnp.int32).reshape(16, 16)
         got = np.asarray(_lns_decode(codes, f))
         want = np.asarray(unpack_lns(LNSWeight(codes.astype(jnp.uint8), f)))
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, want, err_msg=f"frac_bits={f}")
 
 
 def test_fp4_pack_matches_fake_quant():
