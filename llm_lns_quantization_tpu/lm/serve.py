@@ -153,7 +153,11 @@ class ContinuousBatcher:
             while pending and not active.all():
                 rid = pending.pop(0)
                 s = int(np.flatnonzero(~active)[0])
-                ids = list(prompts[rid])[-(L - max_new_tokens - 1):]
+                # keep at least one prompt token: a non-positive slice bound
+                # (max_new_tokens >= L - 1) would keep the WHOLE prompt and
+                # overflow the slot cache
+                keep = max(1, L - max_new_tokens - 1)
+                ids = list(prompts[rid])[-keep:]
                 padded = _bucket(len(ids), L)
                 toks = np.zeros((1, padded), np.int32)
                 toks[0, : len(ids)] = ids

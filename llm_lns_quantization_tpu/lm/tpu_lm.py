@@ -103,6 +103,9 @@ class TPULM(LM):
         self._auto_batch = str(batch_size) == "auto"
         self._batch_size = 8 if self._auto_batch else int(batch_size)
         self._token_budget = (int(max_batch_size) if max_batch_size else 64) * 1024
+        # max_batch_size is also a hard row cap (reference semantics), not
+        # only a token budget — short sequences must not balloon the batch
+        self._max_rows = int(max_batch_size) if max_batch_size else None
         self._max_gen_toks = max_gen_toks
         self._max_length = int(max_length) if max_length else min(
             self.bundle.max_length, _DEFAULT_MAX_LENGTH
@@ -232,7 +235,8 @@ class TPULM(LM):
                 pos = 0
                 while pos < len(items):
                     blen = _bucket_len(length_of(items[pos]))
-                    n = max(1, min(self._token_budget // blen, 128))
+                    n = max(1, min(self._token_budget // blen, 128,
+                                   self._max_rows or 128))
                     yield items[pos : pos + n]
                     pos += n
 
@@ -371,8 +375,19 @@ class TPULM(LM):
     def greedy_until(self, requests) -> List[str]:
         res = []
 
+        # encode each context once: sorting, budgeting and packing all need
+        # the token ids, and a real subword tokenizer is the host-side cost
+        _enc_cache = {}
+
+        def _enc(ctx):
+            e = _enc_cache.get(ctx)
+            if e is None:
+                e = self.tok_encode(ctx)
+                _enc_cache[ctx] = e
+            return e
+
         def _collate(x):
-            return -len(self.tok_encode(x[0])), x[0]
+            return -len(_enc(x[0])), x[0]
 
         re_ord = utils.Reorderer(requests, _collate)
         reordered = re_ord.get_reordered()
@@ -382,13 +397,14 @@ class TPULM(LM):
                 pos = 0
                 while pos < len(items):
                     blen = _bucket_len(length_of(items[pos]))
-                    n = max(1, min(self._token_budget // blen, 64))
+                    n = max(1, min(self._token_budget // blen, 64,
+                                   self._max_rows or 64))
                     yield items[pos : pos + n]
                     pos += n
 
             chunk_iter = _chunks_by_budget(
                 reordered,
-                lambda r: len(self.tok_encode(r[0])) + self.max_gen_toks,
+                lambda r: len(_enc(r[0])) + self.max_gen_toks,
             )
         else:
             chunk_iter = utils.chunks(reordered, self.batch_size)
@@ -410,11 +426,12 @@ class TPULM(LM):
                 ),
             )
 
-            # left-truncate to max_length - max_gen_toks (huggingface.py:2101)
-            encs = [
-                self.tok_encode(ctx)[-(self.max_length - max_gen):]
-                for ctx in contexts
-            ]
+            # left-truncate to max_length - max_gen_toks (huggingface.py:2101);
+            # keep at least one token — with max_gen == max_length the raw
+            # slice bound is 0 and [-0:] keeps the WHOLE context, running
+            # positions past the embedding table
+            keep = max(1, self.max_length - max_gen)
+            encs = [_enc(ctx)[-keep:] for ctx in contexts]
             prompt_len = _bucket_len(max(len(e) for e in encs))
             B = len(chunk)
             toks = np.full((B, prompt_len), self.eot_token_id, np.int32)

@@ -76,7 +76,10 @@ class FP8KV(NamedTuple):
 
 
 def fp8_update(cache: "FP8KV", new: jax.Array, index) -> "FP8KV":
-    q = new.astype(jnp.float8_e4m3fn)
+    # saturate: a bare cast maps |v| >= 465 (e4m3fn max is 448) to NaN, which
+    # would permanently poison the cache row and every later softmax over it
+    lim = float(jnp.finfo(jnp.float8_e4m3fn).max)
+    q = jnp.clip(new.astype(jnp.float32), -lim, lim).astype(jnp.float8_e4m3fn)
     return FP8KV(_dus(cache.codes, q, index))
 
 

@@ -227,6 +227,21 @@ def _xla_dot(x, w, b2d, out_dtype):
     return y.astype(out_dtype)
 
 
+def _fit_block_k(K: int, want: int = 2048):
+    """Largest multiple of 128 <= ``want`` that divides K, or None.
+
+    The k-tiled kernels accumulate over every k step with no remainder mask,
+    and Pallas TPU boundary-block padding is undefined — a K % block_k
+    remainder would sum garbage into the accumulator. Callers fall back to
+    the XLA dequant-dot path when no remainder-free tile exists.
+    """
+    top = min(want, K) // 128 * 128
+    for c in range(top, 0, -128):
+        if K % c == 0:
+            return c
+    return None
+
+
 def _shrink_n(bn: int) -> int:
     """Halve a block_n while keeping it Mosaic-legal: lane-dim blocks must be
     multiples of 128 (or the full array dim). Plain halving of e.g. 384
@@ -345,9 +360,13 @@ def lns_matmul(
         return _xla_dot(x, _lns_decode(codes.astype(jnp.int32), frac_bits),
                         b2d, out_dtype)
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
+        bk = _fit_block_k(K)
+        if bk is None:  # no remainder-free k tile: XLA dequant dot instead
+            return _xla_dot(x, _lns_decode(codes.astype(jnp.int32), frac_bits),
+                            b2d, out_dtype)
         return _lns_matmul_ktiled(
             x, codes, b2d, frac_bits, out_dtype,
-            block_m=block_m, block_n=block_n,
+            block_m=block_m, block_n=block_n, block_k=bk,
         )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -432,8 +451,15 @@ def int8_matmul(
                     preferred_element_type=jnp.float32)
         return (y * scale.reshape(1, N).astype(jnp.float32) + b2d).astype(out_dtype)
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
+        bk = _fit_block_k(K)
+        if bk is None:
+            y = jnp.dot(x, codes.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return (y * scale.reshape(1, N).astype(jnp.float32)
+                    + b2d).astype(out_dtype)
         return _int8_matmul_ktiled(
-            x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
+            x, codes, scale, b2d, out_dtype,
+            block_m=block_m, block_n=block_n, block_k=bk,
         )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -679,8 +705,19 @@ def w8a8_matmul(
         y = acc.astype(jnp.float32) * rscale * scale.reshape(1, N).astype(jnp.float32)
         return (y + b2d).astype(out_dtype)
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
+        bk = _fit_block_k(K)
+        if bk is None:
+            xq, rscale = _w8a8_quant_rows(x)
+            acc = jax.lax.dot_general(
+                xq, codes, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * rscale
+                 * scale.reshape(1, N).astype(jnp.float32))
+            return (y + b2d).astype(out_dtype)
         return _w8a8_matmul_ktiled(
-            x, codes, scale, b2d, out_dtype, block_m=block_m, block_n=block_n
+            x, codes, scale, b2d, out_dtype,
+            block_m=block_m, block_n=block_n, block_k=bk,
         )
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -867,9 +904,13 @@ def mx_matmul(
         out_dtype=out_dtype,
     )
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
+        block_k = _fit_block_k(K)
+        if block_k is None:  # no remainder-free k tile: XLA dequant dot
+            w = _mx_decode(codes.astype(jnp.int32), bscale, exp_bits,
+                           man_bits, block_size)
+            return _xla_dot(x, w, b2d, out_dtype)
         block_m = min(block_m, M)
         block_n = min(block_n, N)
-        block_k = 2048
         grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
         return pl.pallas_call(
             functools.partial(_mx_matmul_ktiled_kernel, **kernel_args),
@@ -1016,9 +1057,13 @@ def fp8_matmul(
         exp_bits=exp_bits, man_bits=man_bits, e_bias=e_bias, out_dtype=out_dtype
     )
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
+        block_k = _fit_block_k(K)
+        if block_k is None:  # no remainder-free k tile: XLA dequant dot
+            w = _fp8_decode(codes.astype(jnp.int32), exp_bits, man_bits,
+                            e_bias)
+            return _xla_dot(x, w, b2d, out_dtype)
         block_m = min(block_m, M)
         block_n = min(block_n, N)
-        block_k = 2048
         grid = (_cdiv(M, block_m), _cdiv(N, block_n), _cdiv(K, block_k))
         return pl.pallas_call(
             functools.partial(_fp8_matmul_ktiled_kernel, **kernel_args),
@@ -1091,15 +1136,7 @@ def _fp4_matmul_kernel(x_ref, w_ref, b_ref, o_ref, wdec_ref, *,
     def _():
         u = w_ref[...].astype(jnp.int32)  # [K, bn] packed bytes (halves layout)
         nib = jnp.where(j < n_half_tiles, u & 0xF, (u >> 4) & 0xF)
-        # E2M1 decode is pure bit assembly — sign, exponent and the single
-        # mantissa bit all map directly onto float32 bit positions (cheapest
-        # decode of the 4-bit zoo: no selects at all)
-        sbits = (nib & 0x8) << 28
-        e = ((nib >> 1) & 0x3) + 125  # e - 2 + 127
-        mant = (nib & 1) << 22
-        wdec_ref[...] = jax.lax.bitcast_convert_type(
-            (sbits | (e << 23) | mant).astype(jnp.int32), jnp.float32
-        ).astype(jnp.bfloat16)
+        wdec_ref[...] = _fp4_nib_decode(nib)
 
     o_ref[...] = (
         jnp.dot(x_ref[...], wdec_ref[...], preferred_element_type=jnp.float32)

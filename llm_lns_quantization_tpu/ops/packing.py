@@ -78,7 +78,10 @@ def pack_lns(w: jax.Array, frac_bits: int = 3, man_bits: int = 4) -> LNSWeight:
 
     The represented value set equals quant.formats.lns_quant(w, man_bits,
     frac_bits) for every non-zero w (zeros clamp to +threshold_down there;
-    here too, preserving the emulation's semantics).
+    here too, preserving the emulation's semantics), EXCEPT the grid's top
+    point: the 7-bit code field holds k in [-64, 63], so the fake grid's
+    k = 64 (|w| rounding to 2^8 for lns8) saturates down to k = 63 —
+    same top-merge convention as LNS4Weight.
     """
     scale = float(2**frac_bits)
     threshold_clamp = 2 ** (man_bits - 1)

@@ -33,8 +33,10 @@ def save_checkpoint(path: str, params: Any, opt_state: Optional[Any] = None,
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
-    if step is not None:
-        tree["step"] = step
+    # always write a step so the saved structure matches restore_checkpoint's
+    # default template (has_step=True) — a step-less save would make the
+    # default restore fail on a structure mismatch
+    tree["step"] = step if step is not None else 0
     _checkpointer().save(path, tree, force=force)
     return path
 

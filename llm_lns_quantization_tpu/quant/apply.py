@@ -64,7 +64,12 @@ _PACKABLE = (
 
 # format name -> (frac_bits, man_bits) for LNS packing
 _LNS_PACK = {"lns8": (3, 4), "lns4": (1, 2)}
-_INT8_PACK = ("w8a8", "zeroquant", "vsquant", "int8", "llm_int8")
+# only w8a8 gets the packed per-column-absmax int8 serving tier: the other
+# int formats (zeroquant/vsquant/llm_int8) have materially different grids
+# (per-row power-of-2 scales, outlier-column passthrough) — silently packing
+# them would make the fake and real tiers of the same spec disagree, so with
+# ;pallas their weights stay faithful fake-quant instead
+_INT8_PACK = ("w8a8",)
 # format name -> (exp_bits, man_bits, clamp_up_mul, clamp_down_mul) for
 # scale-free custom-float packing (quant.formats.fp_quant grid)
 _FP8_PACK = {

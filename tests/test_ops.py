@@ -630,3 +630,45 @@ def test_dispatch_policy():
     assert has_pallas(f, x_decode, w_big.codes)
     x_score = jnp.zeros((2048, 4096), jnp.bfloat16)
     assert not has_pallas(f, x_score, w_big.codes)  # still compute-bound
+
+
+def test_fp8_kv_update_saturates_instead_of_nan():
+    """Out-of-range K/V activations must saturate to the e4m3fn max, not cast
+    to NaN (a NaN code would poison the cache row for the whole sequence)."""
+    from llm_lns_quantization_tpu.ops.kv_cache import fp8_update, init_fp8_cache
+
+    cache = init_fp8_cache(1, 1, 4, 8)
+    new = jnp.full((1, 1, 1, 8), 500.0, jnp.bfloat16)
+    out = fp8_update(cache, new, 0)
+    vals = np.asarray(out.codes.astype(jnp.float32))[0, 0, 0]
+    assert np.all(np.isfinite(vals))
+    assert np.all(vals == float(jnp.finfo(jnp.float8_e4m3fn).max))
+
+
+def test_ktiled_k_remainder_handling():
+    """K values without a 2048-divisor k-tile must still be exact: the
+    dispatch either shrinks block_k to a 128-multiple divisor (K=2176 ->
+    128) or falls back to the XLA dequant dot (K=200, not a multiple of
+    128) — the k-tiled kernels have no remainder masking."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import LNSWeight, pack_lns, unpack_lns
+
+    assert qmm._fit_block_k(2176) == 128
+    assert qmm._fit_block_k(6400) == 1280
+    assert qmm._fit_block_k(200) is None
+
+    old = qmm._FORCE_KTILED
+    qmm._FORCE_KTILED = True
+    try:
+        for K in (2176, 200):
+            x = jnp.asarray(rand((8, K), seed=61, scale=0.1), jnp.bfloat16)
+            q = pack_lns(jnp.asarray(rand((K, 256), seed=62)))
+            got = np.asarray(
+                qmm.lns_matmul(x, q.codes, frac_bits=3, out_dtype=jnp.float32)
+            )
+            want = np.asarray(
+                jnp.dot(x, unpack_lns(q), preferred_element_type=jnp.float32)
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    finally:
+        qmm._FORCE_KTILED = old
