@@ -192,6 +192,7 @@ def simple_evaluate(
 def evaluate(
     lm,
     task_dict,
+    provide_description=None,
     num_fewshot=0,
     limit=None,
     bootstrap_iters=100000,
@@ -201,6 +202,15 @@ def evaluate(
     output_base_path=None,
 ):
     """Run the request-driven evaluation loop over instantiated tasks."""
+    # deprecated kwarg accepted for reference API compatibility
+    # (reference evaluator.py:155,190-196: never implemented, warns if passed)
+    assert not provide_description
+    if provide_description is not None:
+        print(
+            "WARNING: provide_description is deprecated and will be removed "
+            "in a future version in favor of description_dict"
+        )
+
     decontaminate = decontamination_ngrams_path is not None
 
     task_dict_items = [

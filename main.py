@@ -27,6 +27,9 @@ def parse_args():
     parser.add_argument(
         "--tasks", default=None, choices=utils.MultiChoice(task_lib.ALL_TASKS)
     )
+    # deprecated no-op kept for CLI compatibility (reference main.py:18,50
+    # asserts it is unset; description_dict replaced it)
+    parser.add_argument("--provide_description", action="store_true")
     parser.add_argument("--num_fewshot", type=int, default=0)
     parser.add_argument("--batch_size", type=str, default=None)
     parser.add_argument("--max_batch_size", type=int, default=None)
@@ -38,6 +41,9 @@ def parse_args():
         default=None,
         help="Limit #examples per task (<1 = fraction). Only for testing.",
     )
+    # parsed-but-unused in the reference too (main.py:36); accepted so
+    # reference invocations run unchanged
+    parser.add_argument("--data_sampling", type=float, default=None)
     parser.add_argument("--no_cache", action="store_true")
     parser.add_argument(
         "--bootstrap_iters",
@@ -77,6 +83,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    assert not args.provide_description, (
+        "--provide_description is deprecated (and was never implemented in "
+        "the reference, main.py:50); use --description_dict_path"
+    )
 
     if args.limit:
         print("WARNING: --limit SHOULD ONLY BE USED FOR TESTING. "
