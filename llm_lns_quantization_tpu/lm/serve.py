@@ -20,8 +20,16 @@ Mechanics (all shapes static, two jit programs total):
   (models/layers.py update_kv_cache accepts an index vector) and a
   per-slot validity mask, so slots at different depths decode together;
   inactive slots compute but write only to masked positions;
-* the host loop admits/evicts between steps and stops sequences on stop ids
-  or per-request token budgets.
+* **chunked dispatch**: ``steps_per_dispatch`` decode steps run inside ONE
+  jitted ``lax.while_loop`` with on-device stop-id / token-budget / length
+  masking, so the host syncs once per chunk instead of once per token (on
+  the tunneled TPU each dispatch+sync costs ~1 ms — at 7B that is ~5% of a
+  step, at 124M it dominates). Rows that finish mid-chunk idle until the
+  chunk ends (bounded occupancy loss of ``steps_per_dispatch - 1`` steps);
+  the loop exits early once every slot is done. Greedy outputs are
+  bit-identical to the 1-step-per-dispatch loop for any chunk size;
+* the host loop admits/evicts between chunks and applies the same stop
+  conditions when accounting emitted tokens.
 """
 
 import functools
@@ -53,6 +61,7 @@ class ContinuousBatcher:
         quant: Optional[QuantConfig] = None,
         slots: int = 4,
         max_len: int = 256,
+        steps_per_dispatch: int = 8,
     ):
         assert not bundle.is_seq2seq, "continuous batching serves causal LMs"
         self.bundle = bundle
@@ -61,28 +70,66 @@ class ContinuousBatcher:
         self.actq = ActQuantizer(self.quant)
         self.slots = slots
         self.max_len = max_len
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
 
-        self._step = jax.jit(self._step_impl)
+        self._chunk = jax.jit(
+            self._chunk_impl, static_argnames=("steps",)
+        )
         self._prefills = {}  # padded len -> jitted prefill
 
     # -- jitted programs -------------------------------------------------
 
-    def _step_impl(self, params, cache, lengths, valid, cur_toks, active):
+    def _chunk_impl(
+        self, params, cache, lengths, valid, cur_toks, active, budget,
+        stop_ids, *, steps,
+    ):
+        """Up to ``steps`` decode steps over the slot pool, one dispatch.
+
+        Emits each step's fed token into ``out`` (sentinel -1 for inactive
+        rows) and deactivates a row on-device under exactly the host loop's
+        conditions: stop id emitted, per-row budget exhausted, or cache full.
+        Exits early once no row is active.
+        """
         rows = jnp.arange(self.slots)
-        valid = valid.at[rows, lengths].set(valid[rows, lengths] | active)
-        logits, cache = self.bundle.forward(
-            params,
-            self.cfg,
-            cur_toks[:, None],
-            self.actq,
-            cache=cache,
-            cache_index=lengths,
-            attn_mask=valid,
-            positions=lengths[:, None],
+        out0 = jnp.full((self.slots, steps), -1, jnp.int32)
+
+        def cond(state):
+            i, _, _, _, _, active, _, _ = state
+            return jnp.logical_and(i < steps, jnp.any(active))
+
+        def body(state):
+            i, cache, lengths, valid, tok, active, budget, out = state
+            out = jax.lax.dynamic_update_slice(
+                out, jnp.where(active, tok, -1)[:, None], (0, i)
+            )
+            valid = valid.at[rows, lengths].set(valid[rows, lengths] | active)
+            logits, cache = self.bundle.forward(
+                params,
+                self.cfg,
+                tok[:, None],
+                self.actq,
+                cache=cache,
+                cache_index=lengths,
+                attn_mask=valid,
+                positions=lengths[:, None],
+            )
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            lengths = lengths + active.astype(jnp.int32)
+            budget = budget - active.astype(jnp.int32)
+            stopped = (
+                jnp.isin(tok, stop_ids)
+                | (budget <= 0)
+                | (lengths >= self.max_len - 1)
+            )
+            active = active & ~stopped
+            tok = jnp.where(active, nxt, tok)
+            return (i + 1, cache, lengths, valid, tok, active, budget, out)
+
+        state = (0, cache, lengths, valid, cur_toks, active, budget, out0)
+        _, cache, lengths, valid, tok, active, budget, out = (
+            jax.lax.while_loop(cond, body, state)
         )
-        next_toks = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        lengths = lengths + active.astype(jnp.int32)
-        return cache, lengths, valid, next_toks
+        return cache, lengths, valid, tok, active, budget, out
 
     def _prefill_fn(self, padded: int):
         if padded not in self._prefills:
@@ -133,7 +180,10 @@ class ContinuousBatcher:
         """
         S, L = self.slots, self.max_len
         params = self.bundle.params
-        stop = set(int(t) for t in stop_ids)
+        # on-device stop lookup; -2 sentinel keeps the array non-empty
+        stop_arr = jnp.asarray(
+            sorted(set(int(t) for t in stop_ids)) or [-2], jnp.int32
+        )
 
         cache = self.bundle.init_cache(
             self.cfg, S, L, kv_quant=self.quant.kv_cache or False
@@ -144,7 +194,7 @@ class ContinuousBatcher:
         pending = list(range(len(prompts)))
         outputs: List[List[int]] = [[] for _ in prompts]
         slot_req = [-1] * S          # request id per slot (-1 = free)
-        slot_budget = np.zeros(S, int)
+        budget = np.zeros(S, np.int32)
         cur = np.zeros(S, np.int32)  # token to feed next step per slot
         active = np.zeros(S, bool)
 
@@ -169,32 +219,31 @@ class ContinuousBatcher:
                 row = jnp.zeros((L,), bool).at[: len(ids)].set(True)
                 valid = valid.at[s].set(row)
                 slot_req[s] = rid
-                slot_budget[s] = max_new_tokens
+                budget[s] = max_new_tokens
                 cur[s] = int(first)
                 active[s] = True
 
-            # one decode step over the whole pool
-            cache, lengths, valid, nxt = self._step(
+            # one fused multi-step decode chunk over the whole pool
+            cache, lengths, valid, cur_t, act_t, budget_t, out = self._chunk(
                 params, cache, lengths, valid,
-                jnp.asarray(cur), jnp.asarray(active),
+                jnp.asarray(cur), jnp.asarray(active), jnp.asarray(budget),
+                stop_arr, steps=self.steps_per_dispatch,
             )
-            nxt_host = np.asarray(jax.device_get(nxt))
-            new_len = np.asarray(jax.device_get(lengths))
+            out_host = np.asarray(jax.device_get(out))
+            act_host = np.array(jax.device_get(act_t))
+            cur = np.array(jax.device_get(cur_t))
+            budget = np.array(jax.device_get(budget_t))
 
             for s in range(S):
-                if not active[s]:
+                if slot_req[s] < 0:
                     continue
-                tok = int(cur[s])
-                outputs[slot_req[s]].append(tok)
-                slot_budget[s] -= 1
-                if (
-                    tok in stop
-                    or slot_budget[s] <= 0
-                    or new_len[s] >= L - 1
-                ):
-                    active[s] = False
+                # emitted tokens for this row: the non-sentinel prefix
+                for t in out_host[s]:
+                    if t < 0:
+                        break
+                    outputs[slot_req[s]].append(int(t))
+                if not act_host[s]:
                     slot_req[s] = -1
-                else:
-                    cur[s] = nxt_host[s]
+            active = act_host.copy()
 
         return outputs

@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--preset", default="tiny")
     p.add_argument("--quant", default=None, help='e.g. "w:lns8;pallas;kv:int8"')
     p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="decode steps fused into one device dispatch")
     p.add_argument("--max_len", type=int, default=512)
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--requests", default="-",
@@ -64,7 +66,8 @@ def main():
     budgets = [int(r.get("max_new_tokens", args.max_new_tokens)) for r in reqs]
 
     batcher = ContinuousBatcher(
-        bundle, quant=quant, slots=args.slots, max_len=args.max_len
+        bundle, quant=quant, slots=args.slots, max_len=args.max_len,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     # the engine takes one budget per call; group requests by budget so each
     # group streams through the shared slot pool

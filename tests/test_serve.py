@@ -76,6 +76,30 @@ def test_continuous_batching_stop_ids_and_quant_cache():
     assert all(len(o) == 4 for o in qout)
 
 
+def test_chunked_dispatch_invariance():
+    """steps_per_dispatch is a pure dispatch-granularity knob: any chunk
+    size must produce bit-identical outputs (rows stop on-device mid-chunk
+    under exactly the host loop's conditions)."""
+    bundle = build_model(family="gpt2", preset="tiny", seed=2,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(1, 200, n)) for n in (7, 3, 13, 5, 9)]
+
+    ref = ContinuousBatcher(
+        bundle, slots=2, max_len=64, steps_per_dispatch=1
+    ).generate(prompts, max_new_tokens=7)
+    sid = ref[1][1]  # some token that actually occurs -> mid-chunk stop
+    ref = ContinuousBatcher(
+        bundle, slots=2, max_len=64, steps_per_dispatch=1
+    ).generate(prompts, max_new_tokens=7, stop_ids=(sid,))
+
+    for k in (3, 8, 32):
+        got = ContinuousBatcher(
+            bundle, slots=2, max_len=64, steps_per_dispatch=k
+        ).generate(prompts, max_new_tokens=7, stop_ids=(sid,))
+        assert got == ref, (k, got, ref)
+
+
 def test_continuous_batching_rejects_seq2seq():
     bundle = build_model(family="t5", preset="tiny", dtype=jnp.float32)
     with pytest.raises(AssertionError):
