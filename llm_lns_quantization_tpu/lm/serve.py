@@ -72,8 +72,11 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
 
+        # the cache pool (arg 1) is donated: the chunk is its only consumer
+        # and in-place reuse keeps one pool resident instead of two (the
+        # pool is the dominant serving allocation beside the weights)
         self._chunk = jax.jit(
-            self._chunk_impl, static_argnames=("steps",)
+            self._chunk_impl, static_argnames=("steps",), donate_argnums=(1,)
         )
         self._prefills = {}  # padded len -> jitted prefill
 
@@ -154,8 +157,13 @@ class ContinuousBatcher:
         return self._prefills[padded]
 
     @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _scatter_slot(big, small, slot):
-        """Write the batch-1 prefill cache into row ``slot`` of the pool."""
+        """Write the batch-1 prefill cache into row ``slot`` of the pool.
+
+        ``big`` is donated (updated in place; one pool allocation) and
+        ``slot`` is traced, so all admissions share one compilation.
+        """
 
         def upd(b, s):
             return jax.lax.dynamic_update_slice(
