@@ -247,6 +247,22 @@ class TPULM(LM):
         else:
             chunk_iter = utils.chunks(reordered, self.batch_size)
 
+        # depth-1 dispatch pipeline: chunk i+1 is packed on host and
+        # dispatched (jax dispatch is async) before chunk i's two scalars
+        # per row are fetched, overlapping host packing + tunnel round-trip
+        # with device compute
+        pending = None  # (ll_dev, greedy_dev, metas)
+
+        def _collect(entry):
+            ll, greedy, metas = entry
+            ll = np.asarray(jax.device_get(ll))
+            greedy = np.asarray(jax.device_get(greedy))
+            for i, cache_key in enumerate(metas):
+                answer = (float(ll[i]), bool(greedy[i]))
+                if cache_key is not None:
+                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
+                res.append(answer)
+
         for chunk in chunk_iter:
             rows_tokens, rows_targets, rows_mask = [], [], []
             max_len = 0
@@ -281,13 +297,12 @@ class TPULM(LM):
                 mask[i, : len(m)] = m
 
             ll, greedy = self._score_jit(self._params, toks, tgts, mask)
-            ll = np.asarray(jax.device_get(ll))
-            greedy = np.asarray(jax.device_get(greedy))
-            for i, cache_key in enumerate(metas):
-                answer = (float(ll[i]), bool(greedy[i]))
-                if cache_key is not None:
-                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
-                res.append(answer)
+            if pending is not None:
+                _collect(pending)
+            pending = (ll, greedy, metas)
+
+        if pending is not None:
+            _collect(pending)
 
         return re_ord.get_original(res)
 
@@ -409,6 +424,27 @@ class TPULM(LM):
         else:
             chunk_iter = utils.chunks(reordered, self.batch_size)
 
+        # depth-1 dispatch pipeline (same pattern as _loglikelihood_tokens):
+        # the next chunk's tokenization + decode dispatch overlaps the
+        # previous chunk's device decode and result fetch
+        pending = None
+
+        def _collect(entry):
+            out_dev, contexts, untils, stop_arr = entry
+            out = np.asarray(jax.device_get(out_dev))
+            for i, (ctx, until) in enumerate(zip(contexts, untils)):
+                row = out[i]
+                # cut at the first stop token (junk may follow once the row
+                # finished while others were still decoding)
+                hits = np.nonzero(np.isin(row, stop_arr))[0]
+                if hits.size:
+                    row = row[: hits[0]]
+                s = self.tok_decode(row)
+                for term in until:
+                    s = s.split(term)[0]
+                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
+                res.append(s)
+
         for chunk in chunk_iter:
             contexts = [c for c, _ in chunk]
             args = [a for _, a in chunk]
@@ -454,21 +490,12 @@ class TPULM(LM):
             stop_arr = np.asarray(sorted(stop_ids), np.int32)
 
             decode = self._get_decode(B, prompt_len, max_gen, len(stop_arr))
-            out = np.asarray(
-                jax.device_get(decode(self._params, toks, pmask, stop_arr))
-            )
+            out_dev = decode(self._params, toks, pmask, stop_arr)
+            if pending is not None:
+                _collect(pending)
+            pending = (out_dev, contexts, untils, stop_arr)
 
-            for i, (ctx, until) in enumerate(zip(contexts, untils)):
-                row = out[i]
-                # cut at the first stop token (junk may follow once the row
-                # finished while others were still decoding)
-                hits = np.nonzero(np.isin(row, stop_arr))[0]
-                if hits.size:
-                    row = row[: hits[0]]
-                s = self.tok_decode(row)
-                for term in until:
-                    s = s.split(term)[0]
-                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
-                res.append(s)
+        if pending is not None:
+            _collect(pending)
 
         return re_ord.get_original(res)

@@ -102,6 +102,20 @@ class TPUSeq2SeqLM(TPULM):
 
         start_id = int(getattr(self.bundle.cfg, "decoder_start_token_id", 0))
 
+        # depth-1 dispatch pipeline (see tpu_lm._loglikelihood_tokens): pack
+        # and dispatch chunk i+1 before fetching chunk i's per-row scalars
+        pending = None
+
+        def _collect(entry):
+            ll, greedy, metas = entry
+            ll = np.asarray(jax.device_get(ll))
+            greedy = np.asarray(jax.device_get(greedy))
+            for i, cache_key in enumerate(metas):
+                answer = (float(ll[i]), bool(greedy[i]))
+                if cache_key is not None:
+                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
+                res.append(answer)
+
         for chunk in chunk_iter:
             metas, encs, decs, tgts_rows = [], [], [], []
             for cache_key, context_enc, continuation_enc in chunk:
@@ -134,13 +148,12 @@ class TPUSeq2SeqLM(TPULM):
             ll, greedy = self._score_jit(
                 self._params, enc_toks, enc_mask, dec_toks, tgt_toks, cont_mask
             )
-            ll = np.asarray(jax.device_get(ll))
-            greedy = np.asarray(jax.device_get(greedy))
-            for i, cache_key in enumerate(metas):
-                answer = (float(ll[i]), bool(greedy[i]))
-                if cache_key is not None:
-                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
-                res.append(answer)
+            if pending is not None:
+                _collect(pending)
+            pending = (ll, greedy, metas)
+
+        if pending is not None:
+            _collect(pending)
 
         return re_ord.get_original(res)
 
