@@ -6,6 +6,8 @@ replacement: mesh construction, megatron-layout parameter shardings,
 sharded-vs-single-device numerical equivalence, and the QAT train step.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -122,6 +124,32 @@ def test_sharded_tpulm_matches_unsharded():
     for (ll1, g1), (ll2, g2) in zip(r_plain, r_sharded):
         assert abs(ll1 - ll2) < 1e-3
         assert g1 == g2
+
+
+@requires_multidevice
+def test_sharded_continuous_batching_matches_unsharded():
+    """The serving engine runs unchanged over TP/DP-sharded params: the
+    jitted prefill/chunk programs inherit NamedShardings from the weights
+    (GSPMD inserts the collectives) and greedy outputs are identical."""
+    from llm_lns_quantization_tpu.lm.serve import ContinuousBatcher
+    from llm_lns_quantization_tpu.parallel import shard_params
+
+    bundle = build_model(family="gpt2", preset="tiny", seed=3,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 200, n)) for n in (6, 10, 4)]
+    ref = ContinuousBatcher(bundle, slots=2, max_len=64).generate(
+        prompts, max_new_tokens=6
+    )
+
+    mesh = make_mesh(shape=(2, 4))
+    sharded = dataclasses.replace(
+        bundle, params=shard_params(bundle.params, bundle, mesh)
+    )
+    got = ContinuousBatcher(sharded, slots=2, max_len=64).generate(
+        prompts, max_new_tokens=6
+    )
+    assert got == ref
 
 
 def test_multihost_sharding_single_process():
