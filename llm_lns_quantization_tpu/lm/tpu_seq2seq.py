@@ -209,6 +209,23 @@ class TPUSeq2SeqLM(TPULM):
 
         eos_id = int(getattr(self.bundle.cfg, "eos_token_id", self.eot_token_id))
 
+        # depth-1 dispatch pipeline (same pattern as the scoring loop)
+        pending = None
+
+        def _collect(entry):
+            out_dev, contexts, untils, stop_arr = entry
+            out = np.asarray(jax.device_get(out_dev))
+            for i, (ctx, until) in enumerate(zip(contexts, untils)):
+                row = out[i]
+                hits = np.nonzero(np.isin(row, stop_arr))[0]
+                if hits.size:
+                    row = row[: hits[0]]
+                s = self.tok_decode(row)
+                for term in until:
+                    s = s.split(term)[0]
+                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
+                res.append(s)
+
         for chunk in chunk_iter:
             contexts = [c for c, _ in chunk]
             args = [a for _, a in chunk]
@@ -248,21 +265,14 @@ class TPUSeq2SeqLM(TPULM):
             key = (B, S, max_gen, len(stop_arr))
             if key not in self._decode_cache:
                 self._decode_cache[key] = self._build_decode(B, S, max_gen)
-            out = np.asarray(
-                jax.device_get(
-                    self._decode_cache[key](self._params, enc_toks, enc_mask, stop_arr)
-                )
+            out_dev = self._decode_cache[key](
+                self._params, enc_toks, enc_mask, stop_arr
             )
+            if pending is not None:
+                _collect(pending)
+            pending = (out_dev, contexts, untils, stop_arr)
 
-            for i, (ctx, until) in enumerate(zip(contexts, untils)):
-                row = out[i]
-                hits = np.nonzero(np.isin(row, stop_arr))[0]
-                if hits.size:
-                    row = row[: hits[0]]
-                s = self.tok_decode(row)
-                for term in until:
-                    s = s.split(term)[0]
-                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
-                res.append(s)
+        if pending is not None:
+            _collect(pending)
 
         return re_ord.get_original(res)
