@@ -134,41 +134,50 @@ class ContinuousBatcher:
         )
         return cache, lengths, valid, tok, active, budget, out
 
-    def _prefill_fn(self, padded: int):
-        if padded not in self._prefills:
+    def _prefill_fn(self, padded: int, n: int):
+        """Batched prefill: one forward for ``n`` same-bucket admissions.
 
-            def prefill(params, tokens, true_len):
-                cache1 = self.bundle.init_cache(
-                    self.cfg, 1, self.max_len,
+        Admissions grouped by length bucket share one dispatch instead of a
+        batch-1 prefill each (the dispatch, not the prompt FLOPs, dominates
+        admission cost in the decode regime). Compile count is bounded by
+        #buckets x slots.
+        """
+        key = (padded, n)
+        if key not in self._prefills:
+
+            def prefill(params, tokens, true_lens):
+                cache_n = self.bundle.init_cache(
+                    self.cfg, n, self.max_len,
                     kv_quant=self.quant.kv_cache or False,
                 )
-                logits, cache1 = self.bundle.forward(
+                logits, cache_n = self.bundle.forward(
                     params,
                     self.cfg,
                     tokens,
                     self.actq,
-                    cache=cache1,
+                    cache=cache_n,
                     cache_index=0,
                 )
-                first = jnp.argmax(logits[0, true_len - 1, :]).astype(jnp.int32)
-                return cache1, first
+                first = jnp.argmax(
+                    logits[jnp.arange(n), true_lens - 1, :], axis=-1
+                ).astype(jnp.int32)
+                return cache_n, first
 
-            self._prefills[padded] = jax.jit(prefill)
-        return self._prefills[padded]
+            self._prefills[key] = jax.jit(prefill)
+        return self._prefills[key]
 
     @staticmethod
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def _scatter_slot(big, small, slot):
-        """Write the batch-1 prefill cache into row ``slot`` of the pool.
+    def _scatter_rows(big, small, slot_idx):
+        """Write prefill-cache rows into pool rows ``slot_idx``.
 
         ``big`` is donated (updated in place; one pool allocation) and
-        ``slot`` is traced, so all admissions share one compilation.
+        ``slot_idx`` is traced, so all admissions share one compilation per
+        group size.
         """
 
         def upd(b, s):
-            return jax.lax.dynamic_update_slice(
-                b, s.astype(b.dtype), (slot,) + (0,) * (b.ndim - 1)
-            )
+            return b.at[slot_idx].set(s.astype(b.dtype))
 
         return jax.tree_util.tree_map(upd, big, small)
 
@@ -207,7 +216,9 @@ class ContinuousBatcher:
         active = np.zeros(S, bool)
 
         while pending or active.any():
-            # admission: fill free slots from the queue
+            # admission: fill free slots from the queue; same-bucket
+            # admissions share one batched prefill dispatch + one scatter
+            admits = []  # (rid, slot, ids, padded)
             while pending and not active.all():
                 rid = pending.pop(0)
                 s = int(np.flatnonzero(~active)[0])
@@ -216,20 +227,37 @@ class ContinuousBatcher:
                 # overflow the slot cache
                 keep = max(1, L - max_new_tokens - 1)
                 ids = list(prompts[rid])[-keep:]
-                padded = _bucket(len(ids), L)
-                toks = np.zeros((1, padded), np.int32)
-                toks[0, : len(ids)] = ids
-                cache1, first = self._prefill_fn(padded)(
-                    params, jnp.asarray(toks), len(ids)
-                )
-                cache = self._scatter_slot(cache, cache1, s)
-                lengths = lengths.at[s].set(len(ids))
-                row = jnp.zeros((L,), bool).at[: len(ids)].set(True)
-                valid = valid.at[s].set(row)
+                admits.append((rid, s, ids, _bucket(len(ids), L)))
                 slot_req[s] = rid
                 budget[s] = max_new_tokens
-                cur[s] = int(first)
                 active[s] = True
+
+            by_bucket = {}
+            for adm in admits:
+                by_bucket.setdefault(adm[3], []).append(adm)
+            for padded, group in sorted(by_bucket.items()):
+                n = len(group)
+                toks = np.zeros((n, padded), np.int32)
+                true_lens = np.zeros((n,), np.int32)
+                slots_idx = np.zeros((n,), np.int32)
+                for j, (rid, s, ids, _) in enumerate(group):
+                    toks[j, : len(ids)] = ids
+                    true_lens[j] = len(ids)
+                    slots_idx[j] = s
+                cache_n, first = self._prefill_fn(padded, n)(
+                    params, jnp.asarray(toks), jnp.asarray(true_lens)
+                )
+                cache = self._scatter_rows(cache, cache_n, jnp.asarray(slots_idx))
+                lengths = lengths.at[jnp.asarray(slots_idx)].set(
+                    jnp.asarray(true_lens)
+                )
+                vrows = np.zeros((n, L), bool)
+                for j in range(n):
+                    vrows[j, : true_lens[j]] = True
+                valid = valid.at[jnp.asarray(slots_idx)].set(jnp.asarray(vrows))
+                first_host = np.asarray(jax.device_get(first))
+                for j, (rid, s, ids, _) in enumerate(group):
+                    cur[s] = int(first_host[j])
 
             # one fused multi-step decode chunk over the whole pool
             cache, lengths, valid, cur_t, act_t, budget_t, out = self._chunk(
