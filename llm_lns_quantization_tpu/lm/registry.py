@@ -29,6 +29,8 @@ _REGISTRY = {
     # the adapter the quant experiments lived in; ours is the TPU engine)
     "hf-causal": _lazy("tpu_lm", "TPULM"),
     "hf-causal-experimental": _lazy("tpu_lm", "TPULM"),
+    "tpu-mlm": _lazy("tpu_mlm", "TPUMLM"),
+    "bert": _lazy("tpu_mlm", "TPUMLM"),
     "tpu-seq2seq": _lazy("tpu_seq2seq", "TPUSeq2SeqLM"),
     "hf-seq2seq": _lazy("tpu_seq2seq", "TPUSeq2SeqLM"),
     "openai": _lazy("api_models", "OpenAICompletionsLM"),

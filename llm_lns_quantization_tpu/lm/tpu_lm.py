@@ -91,6 +91,10 @@ class TPULM(LM):
             raise ValueError(
                 f"family {family!r} is encoder-decoder; use model=tpu-seq2seq"
             )
+        if getattr(self.bundle, "is_encoder", False) and type(self) is TPULM:
+            raise ValueError(
+                f"family {family!r} is encoder-only; use model=tpu-mlm"
+            )
         if tokenizer is None:
             tokenizer = pretrained if pretrained is not None else "byte"
         self.tokenizer = build_tokenizer(tokenizer)

@@ -14,6 +14,7 @@ import jax
 
 from ..quant.apply import ActQuantizer, quantize_weights
 from ..quant.config import QuantConfig
+from . import bert as bert_mod
 from . import bloom as bloom_mod
 from . import gpt2 as gpt2_mod
 from . import gptj as gptj_mod
@@ -34,9 +35,11 @@ class ModelBundle:
     max_length: int
     quant_sites: tuple
     is_seq2seq: bool = False  # T5-style: forward(params, cfg, enc_tokens, dec_tokens, ...)
+    is_encoder: bool = False  # BERT-style: bidirectional, no decode; scored via PLL
 
 
 _FAMILIES = {
+    "bert": (bert_mod, "BertConfig"),
     "bloom": (bloom_mod, "BloomConfig"),
     "gpt2": (gpt2_mod, "GPT2Config"),
     "gptj": (gptj_mod, "GPTJConfig"),
@@ -100,6 +103,7 @@ def build_model(
         max_length=max_length,
         quant_sites=mod.QUANT_SITES,
         is_seq2seq=(family == "t5"),
+        is_encoder=(family == "bert"),
     )
 
 

@@ -83,6 +83,8 @@ def load_checkpoint(family: str, path: str, dtype=jnp.bfloat16, **overrides) -> 
         return _load_opt(cfg_json, tensors, dtype, overrides)
     if family == "t5":
         return _load_t5(cfg_json, tensors, dtype, overrides)
+    if family == "bert":
+        return _load_bert(cfg_json, tensors, dtype, overrides)
     raise ValueError(f"no HF loader for family {family!r}")
 
 
@@ -575,6 +577,66 @@ def _load_t5(cfg_json, tensors, dtype, overrides):
 # compensates AutoGPTQ's pack-time `zeros -= 1` (v1 checkpoints). v2
 # checkpoints (quantize_config "checkpoint_format": "gptq_v2") drop it.
 # ---------------------------------------------------------------------------
+
+
+def _load_bert(cfg_json, tensors, dtype, overrides):
+    """BERT (HF ``BertForMaskedLM``): post-LN encoder, tied MLM decoder.
+
+    HF Linear weights are [out, in] -> transposed to our [in, out]; the MLM
+    decoder is tied to the word embeddings, so only ``cls.predictions.bias``
+    is read from the head (``decoder.weight``, when present, is the tie).
+    """
+    from .bert import BertConfig
+
+    cfg = BertConfig(
+        vocab_size=cfg_json["vocab_size"],
+        hidden_size=cfg_json["hidden_size"],
+        num_hidden_layers=cfg_json["num_hidden_layers"],
+        num_attention_heads=cfg_json["num_attention_heads"],
+        intermediate_size=cfg_json["intermediate_size"],
+        max_position_embeddings=cfg_json["max_position_embeddings"],
+        type_vocab_size=cfg_json.get("type_vocab_size", 2),
+        layer_norm_eps=cfg_json.get("layer_norm_eps", 1e-12),
+        mask_token_id=cfg_json.get("mask_token_id") or 103,
+        dtype=dtype,
+        **overrides,
+    )
+    t = _strip_prefix(tensors, prefixes=("bert.",))
+
+    def lin(pre):
+        return {
+            "w": _j(t[pre + ".weight"], dtype).T,
+            "b": _j(t[pre + ".bias"], dtype),
+        }
+
+    def ln(pre):
+        return {"g": _j(t[pre + ".weight"], dtype), "b": _j(t[pre + ".bias"], dtype)}
+
+    params = {
+        "embed_word": _j(t["embeddings.word_embeddings.weight"], dtype),
+        "embed_pos": _j(t["embeddings.position_embeddings.weight"], dtype),
+        "embed_type": _j(t["embeddings.token_type_embeddings.weight"], dtype),
+        "embed_ln": ln("embeddings.LayerNorm"),
+        "mlm_transform": lin("cls.predictions.transform.dense"),
+        "mlm_ln": ln("cls.predictions.transform.LayerNorm"),
+        "mlm_bias": _j(t["cls.predictions.bias"], dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"encoder.layer.{i}."
+        params["layers"].append(
+            {
+                "q_proj": lin(pre + "attention.self.query"),
+                "k_proj": lin(pre + "attention.self.key"),
+                "v_proj": lin(pre + "attention.self.value"),
+                "out_proj": lin(pre + "attention.output.dense"),
+                "attn_ln": ln(pre + "attention.output.LayerNorm"),
+                "fc1": lin(pre + "intermediate.dense"),
+                "fc2": lin(pre + "output.dense"),
+                "out_ln": ln(pre + "output.LayerNorm"),
+            }
+        )
+    return cfg, params
 
 
 def _gptq_unpack_rows(packed, bits):

@@ -54,7 +54,9 @@ def main():
                 bundle, quant=quant, slots=args.slots, max_len=256,
                 steps_per_dispatch=k,
             )
-            cb.generate(prompts[:2], max_new_tokens=4)  # warm compiles
+            # warm ALL compiles in the timed path: same admission pattern
+            # (same prefill group sizes + buckets) and the chunk program
+            cb.generate(prompts, max_new_tokens=2)
             t0 = time.time()
             outs = cb.generate(prompts, max_new_tokens=args.new_tokens)
             dt = time.time() - t0

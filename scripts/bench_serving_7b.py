@@ -53,6 +53,16 @@ def main():
     ap.add_argument("--score", action="store_true",
                     help="measure the compute-bound score step (B=8 x T=1024) "
                          "instead of serving decode")
+    ap.add_argument("--batcher", action="store_true",
+                    help="measure the ContinuousBatcher end-to-end (BASELINE "
+                         "config #3: continuous batching at 7B) instead of "
+                         "the lock-step decode step")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--steps_per_dispatch", type=int, default=16)
+    ap.add_argument("--skip_bf16", action="store_true",
+                    help="skip the bf16 baseline (batcher mode at bf16 is "
+                         "memory-tight at 7B: 13.5 GB weights + two cache "
+                         "pools transiently)")
     args = ap.parse_args()
 
     tpu = jax.devices()[0]
@@ -81,6 +91,21 @@ def main():
 
     def measure(bundle, quant):
         actq = ActQuantizer(quant)
+        if args.batcher:
+            from llm_lns_quantization_tpu.lm.serve import ContinuousBatcher
+
+            cb = ContinuousBatcher(
+                bundle, quant=quant, slots=args.slots, max_len=256,
+                steps_per_dispatch=args.steps_per_dispatch,
+            )
+            brng = np.random.default_rng(2)
+            reqs = [list(brng.integers(1, 32000, 128))
+                    for _ in range(args.slots * 2)]
+            cb.generate(reqs, max_new_tokens=2)  # warm all compiles
+            t0 = time.time()
+            outs = cb.generate(reqs, max_new_tokens=DS)
+            dt = time.time() - t0
+            return sum(len(o) for o in outs) / dt
         if args.score:
             return _throughput(_score_fn(bundle, actq), bundle.params,
                                stoks, stgts, smask, iters=8)
@@ -89,16 +114,22 @@ def main():
             bundle.params, prompt, DS, iters=4,
         )
 
-    key = "score_tokens_per_s" if args.score else "decode_tokens_per_s"
-    t0 = time.time()
-    dev_params = jax.tree_util.tree_map(lambda a: jax.device_put(a, tpu), host)
-    jax.block_until_ready(dev_params)
-    b = bundle_with(dev_params)
-    base_tps = measure(b, QuantConfig())
-    print(json.dumps({"format": "bf16", key: round(base_tps, 1),
-                      "t_wall_s": round(time.time() - t0, 1)}), flush=True)
-    del dev_params, b
-    gc.collect()
+    key = ("batcher_tokens_per_s" if args.batcher
+           else "score_tokens_per_s" if args.score
+           else "decode_tokens_per_s")
+    base_tps = None
+    if not args.skip_bf16:
+        t0 = time.time()
+        dev_params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, tpu), host
+        )
+        jax.block_until_ready(dev_params)
+        b = bundle_with(dev_params)
+        base_tps = measure(b, QuantConfig())
+        print(json.dumps({"format": "bf16", key: round(base_tps, 1),
+                          "t_wall_s": round(time.time() - t0, 1)}), flush=True)
+        del dev_params, b
+        gc.collect()
 
     for spec in specs:
         t0 = time.time()
@@ -111,12 +142,11 @@ def main():
         q_tps = measure(qb, quant)
         del qparams, qb
         gc.collect()
-        print(json.dumps({
-            "format": spec,
-            key: round(q_tps, 1),
-            "vs_bf16": round(q_tps / base_tps, 4),
-            "t_wall_s": round(time.time() - t0, 1),
-        }), flush=True)
+        rec = {"format": spec, key: round(q_tps, 1),
+               "t_wall_s": round(time.time() - t0, 1)}
+        if base_tps:
+            rec["vs_bf16"] = round(q_tps / base_tps, 4)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

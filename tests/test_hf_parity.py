@@ -442,3 +442,35 @@ def test_bloom_alibi_slopes_match_hf():
         np.testing.assert_allclose(
             np.asarray(alibi_slopes(nh)), hf_slopes.numpy(), rtol=1e-6
         )
+
+
+def test_bert_matches_hf(tmp_path_factory, token_batch):
+    """BERT (encoder-only MLM): post-LN blocks, token-type + learned
+    positions, exact-GELU, tied MLM decoder + bias (reference ships the
+    BERT.csv artifact with no adapter; here the family is first-class,
+    scored via PLL — lm/tpu_mlm.py)."""
+    cfg = transformers.BertConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(21)
+    model = transformers.BertForMaskedLM(cfg).eval()
+    path = tmp_path_factory.mktemp("bert")
+    model.save_pretrained(path, safe_serialization=True)
+
+    bundle = build_model(family="bert", checkpoint=str(path), dtype=jnp.float32)
+    toks = torch.tensor(token_batch, dtype=torch.long)
+    # padding-masked rows exercise the bidirectional attention mask path
+    amask = torch.ones_like(toks)
+    amask[1, -3:] = 0
+    ours = bundle.forward(
+        bundle.params, bundle.cfg, jnp.asarray(token_batch),
+        attn_mask=jnp.asarray(amask.numpy()),
+    )
+    with torch.no_grad():
+        theirs = model(toks, attention_mask=amask).logits
+    # compare only non-pad positions (HF still computes logits at pads)
+    _logits_close(ours[0], theirs[0])
+    _logits_close(ours[1, :-3], theirs[1, :-3])

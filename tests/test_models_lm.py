@@ -195,3 +195,66 @@ def test_auto_batch_token_budget():
     for (a, ga), (b, gb) in zip(r_fixed, r_auto):
         assert abs(a - b) < 1e-3
         assert ga == gb
+
+
+# ---------------------------------------------------------------------------
+# encoder-only (BERT) family: PLL scoring engine
+# ---------------------------------------------------------------------------
+
+
+def test_mlm_pll_matches_manual():
+    """TPUMLM's batched PLL == the naive per-token mask-and-forward loop."""
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+
+    lm = TPUMLM(family="bert", preset="tiny", batch_size=4, dtype="float32")
+    reqs = [("hello there", " world"), ("abc", " def ghi")]
+    got = lm.loglikelihood(reqs)
+
+    b = lm.bundle
+    for (ctx, cont), (ll, greedy) in zip(reqs, got):
+        whole = lm.tok_encode(ctx + cont)
+        start = len(lm.tok_encode(ctx))
+        want_ll, want_greedy = 0.0, True
+        for p in range(start, len(whole)):
+            masked = list(whole)
+            tgt = masked[p]
+            masked[p] = lm.mask_id
+            logits = b.forward(
+                b.params, b.cfg, jnp.asarray([masked], jnp.int32)
+            )
+            lp = jax.nn.log_softmax(logits[0, p].astype(jnp.float32))
+            want_ll += float(lp[tgt])
+            want_greedy &= int(jnp.argmax(lp)) == tgt
+        assert abs(ll - want_ll) < 1e-3, (ctx, cont, ll, want_ll)
+        assert greedy == want_greedy
+
+
+def test_mlm_contract_and_registry():
+    from llm_lns_quantization_tpu.lm.registry import get_model
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+
+    assert get_model("tpu-mlm") is TPUMLM
+    assert get_model("bert") is TPUMLM
+
+    lm = TPUMLM(family="bert", preset="tiny", dtype="float32")
+    with pytest.raises(NotImplementedError):
+        lm.greedy_until([("x", {"until": ["\n"]})])
+    # rolling PLL runs and is deterministic
+    r1 = lm.loglikelihood_rolling([("some text to score",)])
+    r2 = lm.loglikelihood_rolling([("some text to score",)])
+    assert r1 == r2 and np.isfinite(r1[0])
+
+    # engine routing guards both ways
+    with pytest.raises(ValueError):
+        TPULM(family="bert", preset="tiny")
+    with pytest.raises(ValueError):
+        TPUMLM(family="gpt2", preset="tiny")
+
+
+def test_mlm_quantized_forward_runs():
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+
+    lm = TPUMLM(family="bert", preset="tiny", dtype="float32",
+                quant="w:lns8;a:fp8")
+    (ll, greedy), = lm.loglikelihood([("hello", " world")])
+    assert np.isfinite(ll)
