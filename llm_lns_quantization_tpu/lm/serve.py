@@ -139,8 +139,10 @@ class ContinuousBatcher:
 
         Admissions grouped by length bucket share one dispatch instead of a
         batch-1 prefill each (the dispatch, not the prompt FLOPs, dominates
-        admission cost in the decode regime). Compile count is bounded by
-        #buckets x slots.
+        admission cost in the decode regime). ``n`` is a power of 2 (dummy
+        rows are dropped at scatter), so compile count is bounded by
+        #buckets x (log2(slots)+1) — at 7B each prefill compile costs
+        minutes, so the group-size axis must not be dense.
         """
         key = (padded, n)
         if key not in self._prefills:
@@ -177,7 +179,8 @@ class ContinuousBatcher:
         """
 
         def upd(b, s):
-            return b.at[slot_idx].set(s.astype(b.dtype))
+            # mode="drop": padding rows carry an out-of-range slot index
+            return b.at[slot_idx].set(s.astype(b.dtype), mode="drop")
 
         return jax.tree_util.tree_map(upd, big, small)
 
@@ -237,24 +240,26 @@ class ContinuousBatcher:
                 by_bucket.setdefault(adm[3], []).append(adm)
             for padded, group in sorted(by_bucket.items()):
                 n = len(group)
-                toks = np.zeros((n, padded), np.int32)
-                true_lens = np.zeros((n,), np.int32)
-                slots_idx = np.zeros((n,), np.int32)
+                n_pad = 1
+                while n_pad < n:
+                    n_pad *= 2
+                toks = np.zeros((n_pad, padded), np.int32)
+                true_lens = np.ones((n_pad,), np.int32)  # dummies: 1 token
+                slots_idx = np.full((n_pad,), S, np.int32)  # dummies: dropped
                 for j, (rid, s, ids, _) in enumerate(group):
                     toks[j, : len(ids)] = ids
                     true_lens[j] = len(ids)
                     slots_idx[j] = s
-                cache_n, first = self._prefill_fn(padded, n)(
+                cache_n, first = self._prefill_fn(padded, n_pad)(
                     params, jnp.asarray(toks), jnp.asarray(true_lens)
                 )
                 cache = self._scatter_rows(cache, cache_n, jnp.asarray(slots_idx))
-                lengths = lengths.at[jnp.asarray(slots_idx)].set(
-                    jnp.asarray(true_lens)
-                )
+                real = jnp.asarray(slots_idx[:n])
+                lengths = lengths.at[real].set(jnp.asarray(true_lens[:n]))
                 vrows = np.zeros((n, L), bool)
                 for j in range(n):
                     vrows[j, : true_lens[j]] = True
-                valid = valid.at[jnp.asarray(slots_idx)].set(jnp.asarray(vrows))
+                valid = valid.at[real].set(jnp.asarray(vrows))
                 first_host = np.asarray(jax.device_get(first))
                 for j, (rid, s, ids, _) in enumerate(group):
                     cur[s] = int(first_host[j])
