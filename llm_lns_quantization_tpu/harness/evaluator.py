@@ -28,6 +28,8 @@ _HF_FAMILY = {
     "gptj": "gptj",
     "gpt_neox": "neox",
     "bloom": "bloom",
+    "t5": "t5",
+    "bert": "bert",
 }
 
 
@@ -44,8 +46,6 @@ def _lm_from_hf_model(model, batch_size=None, quant=None):
     """Export an in-memory HF model and load it through the TPU engine."""
     import tempfile
 
-    from ..lm.tpu_lm import TPULM
-
     model_type = getattr(model.config, "model_type", None)
     family = _HF_FAMILY.get(model_type)
     if family is None:
@@ -53,17 +53,23 @@ def _lm_from_hf_model(model, batch_size=None, quant=None):
             f"unsupported in-memory HF model type {model_type!r}; "
             f"supported: {sorted(_HF_FAMILY)}"
         )
+    if family == "t5":
+        from ..lm.tpu_seq2seq import TPUSeq2SeqLM as engine_cls
+    elif family == "bert":
+        from ..lm.tpu_mlm import TPUMLM as engine_cls
+    else:
+        from ..lm.tpu_lm import TPULM as engine_cls
     tmp = tempfile.mkdtemp(prefix="hf_export_")
     model.save_pretrained(tmp, safe_serialization=True)
     tok = getattr(model.config, "_name_or_path", None) or "byte"
     try:
-        return TPULM(
+        return engine_cls(
             family=family, pretrained=tmp, tokenizer=tok,
             batch_size=int(batch_size) if batch_size else 8, quant=quant,
         )
     except Exception:
         # tokenizer not resolvable locally — fall back to the byte tokenizer
-        return TPULM(
+        return engine_cls(
             family=family, pretrained=tmp, tokenizer="byte",
             batch_size=int(batch_size) if batch_size else 8, quant=quant,
         )

@@ -108,3 +108,46 @@ def test_train_then_quantized_eval():
     # quantization degrades ppl monotonically with coarseness (allow noise)
     assert ppl_lns8 <= ppl_lns4 * 1.05, (ppl_lns8, ppl_lns4)
     assert ppl_base <= ppl_lns8 * 1.05, (ppl_base, ppl_lns8)
+
+
+def test_in_memory_hf_model_routing():
+    """The reference's HFLM capability (accept an in-memory PreTrainedModel,
+    gpt2.py:21-253): each HF model class routes to the right TPU engine —
+    causal -> TPULM, encoder-decoder -> TPUSeq2SeqLM, encoder-only -> TPUMLM
+    — through a save_pretrained export round-trip."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from llm_lns_quantization_tpu.harness.evaluator import _lm_from_hf_model
+    from llm_lns_quantization_tpu.lm.tpu_lm import TPULM
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+    from llm_lns_quantization_tpu.lm.tpu_seq2seq import TPUSeq2SeqLM
+
+    torch.manual_seed(0)
+    reqs = [("hello there", " world")]
+
+    gpt2 = transformers.GPT2LMHeadModel(transformers.GPT2Config(
+        vocab_size=256, n_positions=64, n_embd=32, n_layer=1, n_head=4,
+    )).eval()
+    lm = _lm_from_hf_model(gpt2)
+    assert isinstance(lm, TPULM)
+    (ll, _), = lm.loglikelihood(reqs)
+    assert np.isfinite(ll)
+
+    bert = transformers.BertForMaskedLM(transformers.BertConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+    )).eval()
+    lm = _lm_from_hf_model(bert)
+    assert isinstance(lm, TPUMLM)
+    (ll, _), = lm.loglikelihood(reqs)
+    assert np.isfinite(ll)
+
+    t5 = transformers.T5ForConditionalGeneration(transformers.T5Config(
+        vocab_size=256, d_model=32, d_ff=64, num_layers=1, num_heads=4,
+        d_kv=8, decoder_start_token_id=0,
+    )).eval()
+    lm = _lm_from_hf_model(t5)
+    assert isinstance(lm, TPUSeq2SeqLM)
+    (ll, _), = lm.loglikelihood(reqs)
+    assert np.isfinite(ll)
