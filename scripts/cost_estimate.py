@@ -57,6 +57,8 @@ def main():
     parser.add_argument("--tasks", default="all_tasks")
     parser.add_argument("--num_fewshot", type=int, default=0)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--data_dir", default=None,
+                        help="offline task data dir (as main.py --data_dir)")
     args = parser.parse_args()
 
     if args.tasks == "all_tasks":
@@ -67,7 +69,7 @@ def main():
     values = []
     for taskname in task_names:
         lm = DryrunLM()
-        task_dict = task_lib.get_task_dict([taskname])
+        task_dict = task_lib.get_task_dict([taskname], data_dir=args.data_dir)
         evaluate(
             lm=lm, task_dict=task_dict, num_fewshot=args.num_fewshot,
             limit=args.limit, bootstrap_iters=10,

@@ -29,6 +29,8 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num_examples", type=int, default=1)
     parser.add_argument("--description_dict_path", default=None)
+    parser.add_argument("--data_dir", default=None,
+                        help="offline task data dir (as main.py --data_dir)")
     return parser.parse_args()
 
 
@@ -38,7 +40,7 @@ def main():
         task_names = task_lib.ALL_TASKS
     else:
         task_names = utils.pattern_match(args.tasks.split(","), task_lib.ALL_TASKS)
-    task_dict = task_lib.get_task_dict(task_names)
+    task_dict = task_lib.get_task_dict(task_names, data_dir=args.data_dir)
 
     description_dict = {}
     if args.description_dict_path:
