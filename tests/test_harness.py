@@ -243,3 +243,29 @@ def test_activation_stats_collector():
     assert "attn_qkv" in summary and "lm_head" in summary
     assert summary["attn_qkv"]["calls"] == b.cfg.n_layer
     assert summary["lm_head"]["std"] > 0
+
+
+def test_write_out_info_files(tmp_path):
+    """--write_out parity (reference evaluator.py:245-292, 322-332, 379-399):
+    per-task JSON with every rendered prompt, per-request logits, truth and
+    per-doc metrics, written under output_base_path."""
+    import json
+
+    res = evaluate(
+        lm=DummyLM(),
+        task_dict=fixture_task_dict(["piqa"]),
+        num_fewshot=1,
+        bootstrap_iters=2,
+        write_out=True,
+        output_base_path=str(tmp_path),
+    )
+    assert "piqa" in res["results"]
+    path = tmp_path / "piqa_write_out_info.json"
+    assert path.exists()
+    info = json.loads(path.read_text())
+    assert len(info) > 0
+    doc = info[0]
+    assert any(k.startswith("prompt_") for k in doc)
+    assert any(k.startswith("logit_") for k in doc)
+    assert "truth" in doc
+    assert "acc" in doc
