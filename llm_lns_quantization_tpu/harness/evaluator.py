@@ -136,6 +136,18 @@ def simple_evaluate(
         assert isinstance(model, LM)
         lm = model
 
+    # multi-host pod: each host scores its host-cyclic request slice, results
+    # all-gathered (parallel/multihost.py). Single process: no-op.
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel.multihost import MultihostLM
+
+            lm = MultihostLM(lm)
+    except ImportError:  # pure-API backends without jax installed
+        pass
+
     if not no_cache and isinstance(model, str):
         cache_key = (
             model

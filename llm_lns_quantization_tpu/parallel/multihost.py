@@ -86,3 +86,37 @@ def run_sharded(fn, requests: List) -> List:
     """fn(local_requests) on this host's slice, results merged everywhere."""
     local = shard_requests(requests)
     return gather_results(fn(local))
+
+
+class MultihostLM:
+    """LM wrapper: each host scores only its host-cyclic request slice and
+    the results are all-gathered, so every host returns the full list and
+    the evaluator control flow stays host-count-agnostic (SURVEY.md §7).
+
+    Sits INSIDE CachingLM: every host's request cache ends up holding the
+    merged results, so a resumed run hits cache regardless of host count.
+    Auto-applied by simple_evaluate when ``jax.process_count() > 1``; a
+    single process makes it a pass-through.
+    """
+
+    def __init__(self, lm, process_id: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.lm = lm
+        self._pid = process_id
+        self._n = process_count
+
+    def _sharded(self, method, requests):
+        local = shard_requests(requests, self._pid, self._n)
+        return gather_results(getattr(self.lm, method)(local), self._pid, self._n)
+
+    def loglikelihood(self, requests):
+        return self._sharded("loglikelihood", requests)
+
+    def loglikelihood_rolling(self, requests):
+        return self._sharded("loglikelihood_rolling", requests)
+
+    def greedy_until(self, requests):
+        return self._sharded("greedy_until", requests)
+
+    def __getattr__(self, name):  # tokenizers, hooks, engine properties
+        return getattr(self.lm, name)
