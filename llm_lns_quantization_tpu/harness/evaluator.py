@@ -136,17 +136,10 @@ def simple_evaluate(
         assert isinstance(model, LM)
         lm = model
 
-    # multi-host pod: each host scores its host-cyclic request slice, results
-    # all-gathered (parallel/multihost.py). Single process: no-op.
-    try:
-        import jax
-
-        if jax.process_count() > 1:
-            from ..parallel.multihost import MultihostLM
-
-            lm = MultihostLM(lm)
-    except ImportError:  # pure-API backends without jax installed
-        pass
+    # is this a local JAX engine? (pure-API adapters and DummyLM have no
+    # bundle; for those, never touch jax — process_count() would force
+    # backend init on a path that does not need an accelerator at all)
+    is_jax_engine = getattr(lm, "bundle", None) is not None
 
     if not no_cache and isinstance(model, str):
         cache_key = (
@@ -155,6 +148,23 @@ def simple_evaluate(
             + (model_args or "").replace("=", "-").replace(",", "_").replace("/", "-")
         )
         lm = CachingLM(lm, "lm_cache/" + cache_key + ".db")
+
+    # multi-host pod: each host scores its host-cyclic request slice, results
+    # all-gathered (parallel/multihost.py). Single process: no-op. Wraps
+    # OUTSIDE the cache so every host shards the same full request list —
+    # per-host caches legitimately diverge mid-run (add_partial writes local
+    # slices), and a cache-derived miss list would mispair on merge.
+    if is_jax_engine:
+        try:
+            import jax
+
+            n_proc = jax.process_count()
+        except Exception:  # backend unavailable
+            n_proc = 1
+        if n_proc > 1:
+            from ..parallel.multihost import MultihostLM
+
+            lm = MultihostLM(lm)
 
     task_dict = get_task_dict(list(tasks), data_dir=data_dir)
 

@@ -8,7 +8,10 @@ free their slot immediately and queued prompts are admitted mid-flight —
 keeping the (weight-HBM-bound) decode step at full batch occupancy instead
 of waiting for the slowest sequence of a static batch.
 
-Mechanics (all shapes static, two jit programs total):
+Mechanics (all shapes static; the compiled-program family is deliberately
+small: one decode-chunk program per stop-set size, one prefill program per
+(length bucket, power-of-2 admission group size), one scatter per group
+size):
 
 * one shared cache of ``[slots, heads, max_len, head_dim]`` per layer
   (plain bf16, INT8 or FP8 via ``kv_quant``);
@@ -63,7 +66,9 @@ class ContinuousBatcher:
         max_len: int = 256,
         steps_per_dispatch: int = 8,
     ):
-        assert not bundle.is_seq2seq, "continuous batching serves causal LMs"
+        assert not bundle.is_seq2seq and not getattr(bundle, "is_encoder", False), (
+            "continuous batching serves causal LMs"
+        )
         self.bundle = bundle
         self.cfg = bundle.cfg
         self.quant = quant or QuantConfig()
@@ -270,10 +275,14 @@ class ContinuousBatcher:
                 jnp.asarray(cur), jnp.asarray(active), jnp.asarray(budget),
                 stop_arr, steps=self.steps_per_dispatch,
             )
-            out_host = np.asarray(jax.device_get(out))
-            act_host = np.array(jax.device_get(act_t))
-            cur = np.array(jax.device_get(cur_t))
-            budget = np.array(jax.device_get(budget_t))
+            # one batched fetch: each device_get is a tunnel round-trip
+            out_host, act_host, cur, budget = jax.device_get(
+                (out, act_t, cur_t, budget_t)
+            )
+            out_host = np.asarray(out_host)
+            act_host = np.array(act_host)
+            cur = np.array(cur)
+            budget = np.array(budget)
 
             for s in range(S):
                 if slot_req[s] < 0:

@@ -46,11 +46,37 @@ from ..quant.config import QuantConfig
 _DEFAULT_MAX_LENGTH = 2048  # reference huggingface.py:79
 
 
-def _bucket_len(n: int, minimum: int = 32) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+_bucket_len = utils.bucket_len
+
+
+def _collect_scores(entry, cache_hook, res):
+    """Drain one pipelined scoring dispatch: two scalars per row."""
+    ll, greedy, metas = entry
+    ll = np.asarray(jax.device_get(ll))
+    greedy = np.asarray(jax.device_get(greedy))
+    for i, cache_key in enumerate(metas):
+        answer = (float(ll[i]), bool(greedy[i]))
+        if cache_key is not None:
+            cache_hook.add_partial("loglikelihood", cache_key, answer)
+        res.append(answer)
+
+
+def _collect_generations(entry, tok_decode, cache_hook, res):
+    """Drain one pipelined decode dispatch: trim at stops, decode, cache."""
+    out_dev, contexts, untils, stop_arr = entry
+    out = np.asarray(jax.device_get(out_dev))
+    for i, (ctx, until) in enumerate(zip(contexts, untils)):
+        row = out[i]
+        # cut at the first stop token (junk may follow once the row finished
+        # while others were still decoding)
+        hits = np.nonzero(np.isin(row, stop_arr))[0]
+        if hits.size:
+            row = row[: hits[0]]
+        s = tok_decode(row)
+        for term in until:
+            s = s.split(term)[0]
+        cache_hook.add_partial("greedy_until", (ctx, until), s)
+        res.append(s)
 
 
 class TPULM(LM):
@@ -258,14 +284,7 @@ class TPULM(LM):
         pending = None  # (ll_dev, greedy_dev, metas)
 
         def _collect(entry):
-            ll, greedy, metas = entry
-            ll = np.asarray(jax.device_get(ll))
-            greedy = np.asarray(jax.device_get(greedy))
-            for i, cache_key in enumerate(metas):
-                answer = (float(ll[i]), bool(greedy[i]))
-                if cache_key is not None:
-                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
-                res.append(answer)
+            _collect_scores(entry, self.cache_hook, res)
 
         for chunk in chunk_iter:
             rows_tokens, rows_targets, rows_mask = [], [], []
@@ -434,20 +453,7 @@ class TPULM(LM):
         pending = None
 
         def _collect(entry):
-            out_dev, contexts, untils, stop_arr = entry
-            out = np.asarray(jax.device_get(out_dev))
-            for i, (ctx, until) in enumerate(zip(contexts, untils)):
-                row = out[i]
-                # cut at the first stop token (junk may follow once the row
-                # finished while others were still decoding)
-                hits = np.nonzero(np.isin(row, stop_arr))[0]
-                if hits.size:
-                    row = row[: hits[0]]
-                s = self.tok_decode(row)
-                for term in until:
-                    s = s.split(term)[0]
-                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
-                res.append(s)
+            _collect_generations(entry, self.tok_decode, self.cache_hook, res)
 
         for chunk in chunk_iter:
             contexts = [c for c, _ in chunk]

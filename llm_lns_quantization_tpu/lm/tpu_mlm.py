@@ -40,11 +40,7 @@ from ..quant.apply import ActQuantizer
 from ..quant.config import QuantConfig
 
 
-def _bucket_len(n: int, minimum: int = 32) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+_bucket_len = utils.bucket_len
 
 
 class TPUMLM(LM):
@@ -56,7 +52,9 @@ class TPUMLM(LM):
         tokenizer: Optional[str] = None,
         quant: Optional[str] = None,
         batch_size: int = 8,
+        max_batch_size: Optional[int] = None,
         max_length: Optional[int] = None,
+        max_gen_toks: int = 0,
         dtype: str = "bfloat16",
         device: Optional[str] = None,
         seed: int = 0,
@@ -83,7 +81,13 @@ class TPUMLM(LM):
             tokenizer = pretrained if pretrained is not None else "byte"
         self.tokenizer = build_tokenizer(tokenizer)
         self.actq = ActQuantizer(self.quant_config)
-        self._batch_size = int(batch_size)
+        del max_gen_toks  # no generation; accepted for registry/CLI compat
+        # batch_size="auto": PLL rows are near-uniform (one window each), so
+        # a fixed default suffices; max_batch_size caps it (CLI contract)
+        bs = 8 if str(batch_size) == "auto" else int(batch_size)
+        if max_batch_size:
+            bs = min(bs, int(max_batch_size))
+        self._batch_size = bs
         self._max_length = int(max_length) if max_length else self.bundle.max_length
         self.mask_id = int(
             getattr(self.tokenizer, "mask_token_id", None)
@@ -140,13 +144,14 @@ class TPUMLM(LM):
     def _pll_rows(self, rows) -> List[Tuple[float, bool]]:
         """Score masked rows: each item is (token_ids, masked_position).
 
-        Returns per-row (logprob, argmax-match), in input order.
+        Returns per-row (logprob, argmax-match), in input order. Rows are
+        sorted longest-first by plain index sort (NOT utils.Reorderer, which
+        DEDUPLICATES equal keys — distinct rows routinely share (length,
+        position), e.g. equal-length multiple-choice continuations).
         """
-        order = utils.Reorderer(
-            list(enumerate(rows)), lambda x: (-len(x[1][0]), x[1][1])
-        )
+        order = sorted(range(len(rows)), key=lambda i: -len(rows[i][0]))
         out = [None] * len(rows)
-        reordered = order.get_reordered()
+        reordered = [(i, rows[i]) for i in order]
         for chunk in utils.chunks(reordered, self._batch_size):
             B = len(chunk)
             S = _bucket_len(max(len(ids) for _, (ids, _) in chunk))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import utils
-from .tpu_lm import TPULM, _bucket_len
+from .tpu_lm import TPULM, _bucket_len, _collect_generations, _collect_scores
 
 
 class TPUSeq2SeqLM(TPULM):
@@ -107,14 +107,7 @@ class TPUSeq2SeqLM(TPULM):
         pending = None
 
         def _collect(entry):
-            ll, greedy, metas = entry
-            ll = np.asarray(jax.device_get(ll))
-            greedy = np.asarray(jax.device_get(greedy))
-            for i, cache_key in enumerate(metas):
-                answer = (float(ll[i]), bool(greedy[i]))
-                if cache_key is not None:
-                    self.cache_hook.add_partial("loglikelihood", cache_key, answer)
-                res.append(answer)
+            _collect_scores(entry, self.cache_hook, res)
 
         for chunk in chunk_iter:
             metas, encs, decs, tgts_rows = [], [], [], []
@@ -213,18 +206,7 @@ class TPUSeq2SeqLM(TPULM):
         pending = None
 
         def _collect(entry):
-            out_dev, contexts, untils, stop_arr = entry
-            out = np.asarray(jax.device_get(out_dev))
-            for i, (ctx, until) in enumerate(zip(contexts, untils)):
-                row = out[i]
-                hits = np.nonzero(np.isin(row, stop_arr))[0]
-                if hits.size:
-                    row = row[: hits[0]]
-                s = self.tok_decode(row)
-                for term in until:
-                    s = s.split(term)[0]
-                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
-                res.append(s)
+            _collect_generations(entry, self.tok_decode, self.cache_hook, res)
 
         for chunk in chunk_iter:
             contexts = [c for c, _ in chunk]

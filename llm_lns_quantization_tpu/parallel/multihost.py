@@ -93,10 +93,13 @@ class MultihostLM:
     the results are all-gathered, so every host returns the full list and
     the evaluator control flow stays host-count-agnostic (SURVEY.md §7).
 
-    Sits INSIDE CachingLM: every host's request cache ends up holding the
-    merged results, so a resumed run hits cache regardless of host count.
-    Auto-applied by simple_evaluate when ``jax.process_count() > 1``; a
-    single process makes it a pass-through.
+    Sits OUTSIDE CachingLM: every host shards the same full request list
+    coming from the evaluator. Per-host caches legitimately diverge mid-run
+    (each host's ``add_partial`` writes only its local slice), so a miss
+    list derived from a local cache must never be the thing that gets
+    sharded — gather pairs results by position. Auto-applied by
+    simple_evaluate when ``jax.process_count() > 1``; a single process makes
+    it a pass-through.
     """
 
     def __init__(self, lm, process_id: Optional[int] = None,

@@ -47,6 +47,14 @@ def _coerce(val: str):
         return val
 
 
+def bucket_len(n: int, minimum: int = 32) -> int:
+    """Next power-of-2 length bucket (XLA: each distinct shape compiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def join_iters(iters):
     for it in iters:
         yield from it

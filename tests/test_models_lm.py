@@ -258,3 +258,35 @@ def test_mlm_quantized_forward_runs():
                 quant="w:lns8;a:fp8")
     (ll, greedy), = lm.loglikelihood([("hello", " world")])
     assert np.isfinite(ll)
+
+
+def test_mlm_equal_length_rows_not_deduped():
+    """Regression: distinct masked rows sharing (length, position) — the
+    standard equal-length multiple-choice shape — must each be scored
+    (utils.Reorderer dedups equal keys and must NOT be used for PLL rows)."""
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+
+    lm = TPUMLM(family="bert", preset="tiny", batch_size=4, dtype="float32")
+    (ll_ab, _), (ll_cd, _) = lm.loglikelihood(
+        [("hello ", "AB"), ("hello ", "CD")]
+    )
+    assert np.isfinite(ll_ab) and np.isfinite(ll_cd)
+    assert ll_ab != ll_cd  # different continuations -> different scores
+
+    # rolling: multiple max_length windows share (length, position) keys
+    lm_small = TPUMLM(family="bert", preset="tiny", batch_size=4,
+                      dtype="float32", max_length=16)
+    (ll,) = lm_small.loglikelihood_rolling([("a" * 40,)])
+    assert np.isfinite(ll)
+
+
+def test_mlm_cli_contract_auto_batch():
+    """Registry/CLI contract: batch_size='auto' and max_batch_size must be
+    accepted (simple_evaluate forwards them to every engine)."""
+    from llm_lns_quantization_tpu.lm.tpu_mlm import TPUMLM
+
+    lm = TPUMLM(family="bert", preset="tiny", dtype="float32",
+                batch_size="auto", max_batch_size=4)
+    assert lm.batch_size == 4
+    (res,) = lm.loglikelihood([("hello", " world")])
+    assert np.isfinite(res[0])
