@@ -290,3 +290,20 @@ def test_mlm_cli_contract_auto_batch():
     assert lm.batch_size == 4
     (res,) = lm.loglikelihood([("hello", " world")])
     assert np.isfinite(res[0])
+
+
+@pytest.mark.parametrize("name,args", [
+    ("tpu", "family=gpt2,preset=tiny,dtype=float32"),
+    ("tpu-seq2seq", "family=t5,preset=tiny,dtype=float32"),
+    ("tpu-mlm", "family=bert,preset=tiny,dtype=float32"),
+])
+def test_registry_engines_accept_standard_extras(name, args):
+    """Every local engine must accept the extras simple_evaluate forwards
+    (batch_size='auto', max_batch_size, device) — the reference CLI contract."""
+    from llm_lns_quantization_tpu.lm.registry import get_model
+
+    lm = get_model(name).create_from_arg_string(
+        args, {"batch_size": "auto", "max_batch_size": 2, "device": "tpu"}
+    )
+    (res,) = lm.loglikelihood([("hello", " world")])
+    assert np.isfinite(res[0])
