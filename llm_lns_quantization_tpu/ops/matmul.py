@@ -1034,7 +1034,10 @@ def fp8_matmul(
     codes: jax.Array,
     exp_bits: int = 4,
     man_bits: int = 3,
-    e_bias: int = 5,
+    # 7 = pack_fp8's bias for its own defaults (exp_bits=4: e_min = -7);
+    # always pass FP8Weight.e_bias — 8 for the reference's clamp-tweaked
+    # E4M3 variant, 15 for E5M2
+    e_bias: int = 7,
     block_m=None,
     block_n=None,
     out_dtype=jnp.bfloat16,

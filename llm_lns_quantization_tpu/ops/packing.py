@@ -83,25 +83,50 @@ def pack_lns(w: jax.Array, frac_bits: int = 3, man_bits: int = 4) -> LNSWeight:
     k = 64 (|w| rounding to 2^8 for lns8) saturates down to k = 63 —
     same top-merge convention as LNS4Weight.
     """
-    scale = float(2**frac_bits)
+    from ..quant.formats import _lns_grid_tables
+
     threshold_clamp = 2 ** (man_bits - 1)
     up = float(2**threshold_clamp)
     down = float(2.0**-threshold_clamp)
 
     w = w.astype(jnp.float32)
     mag = jnp.clip(jnp.abs(w), down, up)
-    k = jnp.round(jnp.log2(mag) * scale).astype(jnp.int32)
+    # exact boundary-count rounding (same mechanism as formats.lns_quant):
+    # libm round(log2(x)*2^f) can land one code off for inputs within ~1 ulp
+    # of a half-step boundary, making the packed and fake tiers of the same
+    # spec disagree element-wise
+    bounds, _ = _lns_grid_tables(frac_bits)
+    bits = jax.lax.bitcast_convert_type(mag, jnp.int32)
+    m23 = bits & 0x7FFFFF
+    j = (m23 >= bounds[0]).astype(jnp.int32)
+    for b in bounds[1:]:
+        j += (m23 >= b).astype(jnp.int32)
+    e = (bits >> 23) - 127
+    k = e * (1 << frac_bits) + j
     k = jnp.clip(k, -64, 63)
     sign = (w < 0).astype(jnp.uint8)
     codes = ((k + 64).astype(jnp.uint8) & 0x7F) | (sign << 7)
     return LNSWeight(codes, frac_bits)
 
 
+def _lns_exact_mag(k, frac_bits):
+    """Exact 2^(k/2^f) by float32 bit assembly: exponent field from the
+    integer part, mantissa from the correctly-rounded grid table (libm exp2
+    is ~1 ulp off, which would put the dequant off the fake tier's grid)."""
+    from ..quant.formats import _lns_grid_tables
+
+    _, mants = _lns_grid_tables(frac_bits)
+    e = k >> frac_bits  # floor division (k may be negative)
+    j = k - (e << frac_bits)
+    mant = jnp.asarray(mants, jnp.int32)[j]
+    return jax.lax.bitcast_convert_type(((e + 127) << 23) | mant, jnp.float32)
+
+
 def unpack_lns(q: LNSWeight, dtype=jnp.bfloat16) -> jax.Array:
     """Reference (XLA) dequant — the Pallas kernels fuse this into the matmul."""
     u = q.codes.astype(jnp.int32)
     k = (u & 0x7F) - 64
-    mag = jnp.exp2(k.astype(jnp.float32) / float(2**q.frac_bits))
+    mag = _lns_exact_mag(k, q.frac_bits)
     val = jnp.where((u & 0x80) != 0, -mag, mag)
     return val.astype(dtype)
 
@@ -157,11 +182,20 @@ class LNS4Weight:
 def pack_lns4(w: jax.Array) -> LNS4Weight:
     """Quantize to the 4-bit LNS grid and pack two codes per byte (halves
     layout along N: low nibble = column j, high nibble = column j + N/2)."""
+    from ..quant.formats import _lns_grid_tables
+
     K, N = w.shape
     assert N % 2 == 0, "N must be even for nibble packing"
     w = w.astype(jnp.float32)
     mag = jnp.clip(jnp.abs(w), 2.0**-2, 2.0**2)
-    k = jnp.clip(jnp.round(jnp.log2(mag) * 2.0), -4, 3).astype(jnp.int32)
+    # exact boundary-count rounding — see pack_lns
+    bounds, _ = _lns_grid_tables(1)
+    bits = jax.lax.bitcast_convert_type(mag, jnp.int32)
+    m23 = bits & 0x7FFFFF
+    j = (m23 >= bounds[0]).astype(jnp.int32)
+    for b in bounds[1:]:
+        j += (m23 >= b).astype(jnp.int32)
+    k = jnp.clip(((bits >> 23) - 127) * 2 + j, -4, 3)
     sign = (w < 0).astype(jnp.int32)
     nib = ((k + 4) | (sign << 3)).astype(jnp.uint8)  # [K, N] in [0, 15]
     lo = nib[:, : N // 2]
@@ -173,7 +207,7 @@ def unpack_lns4(q: LNS4Weight, dtype=jnp.bfloat16) -> jax.Array:
     u = q.packed.astype(jnp.int32)
     nib = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=1)
     k = (nib & 0x7) - 4
-    mag = jnp.exp2(k.astype(jnp.float32) * 0.5)
+    mag = _lns_exact_mag(k, 1)
     val = jnp.where((nib & 0x8) != 0, -mag, mag)
     return val.astype(dtype)
 
@@ -242,7 +276,10 @@ def pack_mx(w: jax.Array, block_size: int = 16, exp_bits: int = 5,
 
     scaled = jnp.clip(jnp.abs(xb) * (up / max_vals), down, up)
     e = jnp.floor(jnp.log2(scaled)).astype(jnp.int32)
-    m = jnp.round((scaled / jnp.exp2(e.astype(jnp.float32)) - 1.0)
+    # ldexp, not exp2: libm exp2 is inexact for |e| >= 13 and shifts exact
+    # round-half-even mantissa ties off the mx_block_quant grid (pack_fp8
+    # uses ldexp for the same reason)
+    m = jnp.round((scaled / jnp.ldexp(jnp.float32(1.0), e) - 1.0)
                   * float(2**man_bits)).astype(jnp.int32)
     # m may round up to 2^man (next binade); renormalize
     roll = m >= 2**man_bits
@@ -273,8 +310,10 @@ def unpack_mx(q: MXWeight, dtype=jnp.bfloat16) -> jax.Array:
     u = q.codes.astype(jnp.int32)
     m = u & ((1 << q.man_bits) - 1)
     e = ((u >> q.man_bits) & ((1 << q.exp_bits) - 1)) - bias
-    mag = (1.0 + m.astype(jnp.float32) / float(2**q.man_bits)) * jnp.exp2(
-        e.astype(jnp.float32)
+    # ldexp keeps the decode bit-exact (exp2 drifts ~5e-7 at |e| >= 13,
+    # off the grid the Pallas/XLA kernels decode exactly)
+    mag = jnp.ldexp(
+        1.0 + m.astype(jnp.float32) / float(2**q.man_bits), e
     )
     val = jnp.where((u & 0x80) != 0, -mag, mag)
     K, N = q.codes.shape

@@ -88,8 +88,12 @@ def _def_partition(cp, local_fn, rule):
             return y
 
         arg_specs = [P(xrow, kax), P(kax, nax)]
-        if n_args == 3:  # int8 per-column scale [N]: shard with N, never K
-            arg_specs.append(P(nax if kax is None else None))
+        if n_args == 3:
+            # int8 per-column scale [N]: always tracks the weight's N
+            # sharding (never K) — replicating it while codes are N-sharded
+            # (both-axes-sharded weights) hands the local kernel a
+            # full-length scale against N/p codes
+            arg_specs.append(P(nax))
         out = NamedSharding(mesh, P(xrow, nax))
         return (mesh, lower, out,
                 tuple(NamedSharding(mesh, s) for s in arg_specs))
@@ -355,7 +359,7 @@ def lns4_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)
 
 
-def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=5,
+def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=7,
                out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.fp8_matmul`` (scale-free custom float)."""
     if _single_device():

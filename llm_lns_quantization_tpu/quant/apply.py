@@ -62,8 +62,12 @@ _PACKABLE = (
     "c_fc/w", "c_proj/w",                                  # gpt-neo mlp
 )
 
-# format name -> (frac_bits, man_bits) for LNS packing
-_LNS_PACK = {"lns8": (3, 4), "lns4": (1, 2)}
+# format name -> (frac_bits, man_bits) for byte-code LNS packing. lns4 is
+# NOT here: quantize_weights routes it to nibble packing first and uses
+# _LNS4_BYTE_FALLBACK for odd-N weights (keeping it in this dict too made
+# the dict entry dead code that could silently diverge from the fallback).
+_LNS_PACK = {"lns8": (3, 4)}
+_LNS4_BYTE_FALLBACK = (1, 2)  # (frac_bits, man_bits) when N is odd
 # only w8a8 gets the packed per-column-absmax int8 serving tier: the other
 # int formats (zeroquant/vsquant/llm_int8) have materially different grids
 # (per-row power-of-2 scales, outlier-column passthrough) — silently packing
@@ -109,9 +113,10 @@ def quantize_weights(params, config: QuantConfig):
             from ..ops.packing import pack_lns4
 
             # true 4-bit nibble packing (falls back to byte codes if N is odd)
+            _f4, _m4 = _LNS4_BYTE_FALLBACK
             pack = lambda w: (  # noqa: E731
                 pack_lns4(w) if w.shape[1] % 2 == 0
-                else pack_lns(w, frac_bits=1, man_bits=2)
+                else pack_lns(w, frac_bits=_f4, man_bits=_m4)
             )
         elif config.weights in _LNS_PACK:
             f, m = _LNS_PACK[config.weights]

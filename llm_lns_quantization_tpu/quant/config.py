@@ -124,4 +124,9 @@ class QuantConfig:
             parts.append(f"a:{self.acts}")
         if self.kv_cache:
             parts.append(f"kv:{self.kv_cache}")
+        if self.use_pallas:
+            # the real-quant tier has materially different numerics than the
+            # fake tier of the same formats — a config record that drops it
+            # conflates the two (and parse(describe(cfg)) must round-trip)
+            parts.append("pallas")
         return ";".join(parts) or "none"

@@ -39,6 +39,12 @@ tests/test_quant_parity.py, which re-executes the torch expressions):
   therefore become ``+threshold_down`` (and then quantize like it). We preserve
   this — it is part of the reference's numerics.
 * ``round`` is round-half-to-even in both torch and jnp.
+* ``w8a8`` and ``smoothquant`` produce **NaN for an all-zero row/tensor**:
+  the reference's unclamped ``num_frac = floor(log2((2^7-1)/max))`` gives an
+  infinite scale and ``round(0*inf)/inf = nan`` (huggingface.py:1095-1106,
+  1195-1244 guard column maxes with zero→1 but not these row/tensor maxes).
+  Preserved verbatim — it is part of the reference's numerics; real model
+  activations are never exactly all-zero along these axes.
 * The reference branches on 2-D vs 3-D tensors; the axis conventions below are
   the rank-generic generalization that reproduces both cases (documented per
   function).

@@ -672,3 +672,61 @@ def test_ktiled_k_remainder_handling():
             np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
     finally:
         qmm._FORCE_KTILED = old
+
+
+def test_pack_mx_exact_mantissa_ties():
+    """Regression: pack_mx must divide by ldexp(1, e), not libm exp2 — at
+    |e| >= 13 exp2 is inexact and shifts exact round-half-even mantissa ties
+    off the mx_block_quant grid (e.g. block max 8 -> bscale 2^-13, and
+    w = -1.375 scales to an exact tie 1.375 * 2^13)."""
+    from llm_lns_quantization_tpu.ops.packing import pack_mx, unpack_mx
+    from llm_lns_quantization_tpu.quant.formats import mx_block_quant
+
+    rng = np.random.default_rng(7)
+    K, N, BS = 32, 8, 16
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    # plant a block whose max rounds to 8 and exact-tie values inside it
+    w[:BS, 0] = 0.01
+    w[0, 0] = 8.0
+    w[1, 0] = -1.375
+    w[2, 0] = 1.375
+    w[3, 0] = 5.5  # 1.375 * 4: tie in another binade
+    q = pack_mx(jnp.asarray(w), block_size=BS, exp_bits=5, man_bits=2)
+    fake = np.asarray(mx_block_quant(jnp.asarray(w), block_size=BS,
+                                     exp_bits=5, man_bits=2))
+    np.testing.assert_array_equal(np.asarray(unpack_mx(q, jnp.float32)), fake)
+
+
+def test_pack_lns_element_exact_vs_fake_tier():
+    """Regression: pack_lns/pack_lns4 use the same exact boundary-count
+    rounding as formats.lns_quant, so (away from the documented k=top merge)
+    the packed and fake tiers agree ELEMENT-wise — including inputs within
+    1 ulp of a half-step rounding boundary, where libm round(log2(x)*2^f)
+    can land one code off."""
+    from llm_lns_quantization_tpu.ops.packing import (
+        pack_lns, pack_lns4, unpack_lns, unpack_lns4,
+    )
+    from llm_lns_quantization_tpu.quant.formats import lns_quant
+
+    rng = np.random.default_rng(8)
+    w = (rng.standard_normal((64, 64)) * 2).astype(np.float32)
+    # sprinkle values AT float32 rounding boundaries: nextafter around
+    # 2^((i-0.5)/2^f) for a few codes
+    for i, target in enumerate((0.5, 1.0, 1.5, 2.5)):
+        b = np.float32(2.0 ** ((target * 8 - 0.5) / 8.0))
+        w[0, i] = b
+        w[1, i] = np.nextafter(b, np.float32(0))
+        w[2, i] = np.nextafter(b, np.float32(4))
+    # keep away from the top grid point (documented k=64 -> 63 merge)
+    w = np.clip(w, -12.0, 12.0)
+
+    fake8 = np.asarray(lns_quant(jnp.asarray(w), man_bits=4, frac_bits=3))
+    got8 = np.asarray(unpack_lns(pack_lns(jnp.asarray(w)), jnp.float32))
+    np.testing.assert_array_equal(got8, fake8)
+
+    # stay below the k=3->4 rounding boundary 2^(3.5/2) ~ 3.364: above it
+    # the fake grid admits k=4 (value 4.0) that the packed nibble merges down
+    w4 = np.clip(w, -3.2, 3.2)
+    fake4 = np.asarray(lns_quant(jnp.asarray(w4), man_bits=2, frac_bits=1))
+    got4 = np.asarray(unpack_lns4(pack_lns4(jnp.asarray(w4)), jnp.float32))
+    np.testing.assert_array_equal(got4, fake4)

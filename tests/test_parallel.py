@@ -265,10 +265,14 @@ def test_tp_kernel_partitioning_no_weight_gather():
     txt = compiled_text(fn8, xs, codes_row)
     assert "all-reduce" in txt and "all-gather" not in txt
 
-    # --- int8 with per-column scale, both layouts
+    # --- int8 with per-column scale: column, row, AND both-axes layouts
+    # (regression: the scale's partition spec must track the weight's N
+    # sharding — replicating it while codes are sharded on both axes handed
+    # the local kernel a full-length scale against N/p codes)
     fni = lambda a, c, s: tp.int8_matmul(a, c, s, out_dtype=jnp.float32)
     for wspec, sspec in [(P(None, "model"), P("model")),
-                         (P("model", None), P())]:
+                         (P("model", None), P()),
+                         (P("data", "model"), P("model"))]:
         c = jax.device_put(i8.codes, NamedSharding(mesh, wspec))
         s = jax.device_put(i8.scale, NamedSharding(mesh, sspec))
         out = jax.jit(fni)(xs, c, s)
