@@ -242,6 +242,20 @@ def _fit_block_k(K: int, want: int = 2048):
     return None
 
 
+def _shrink_blocks(block_m: int, block_n: int, vmem_bytes):
+    """Shrink (block_m, block_n) until the tile fits the VMEM budget.
+
+    ``vmem_bytes(bm, bn)`` is each caller's format-specific buffer-byte
+    model (weight/activation widths differ per format); the shrink POLICY —
+    N first down to 128-multiples, then M by halving — lives only here.
+    """
+    while block_n > 128 and vmem_bytes(block_m, block_n) > _VMEM_BUDGET:
+        block_n = _shrink_n(block_n)
+    while block_m > 128 and vmem_bytes(block_m, block_n) > _VMEM_BUDGET:
+        block_m //= 2
+    return block_m, block_n
+
+
 def _shrink_n(bn: int) -> int:
     """Halve a block_n while keeping it Mosaic-legal: lane-dim blocks must be
     multiples of 128 (or the full array dim). Plain halving of e.g. 384
@@ -375,10 +389,7 @@ def lns_matmul(
         # pallas double-buffers inputs and outputs; scratch is single
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     kernel = functools.partial(
@@ -446,17 +457,17 @@ def int8_matmul(
     assert K == K2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if _dispatch_xla(M, K, N):
+    def _xla():
         y = jnp.dot(x, codes.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         return (y * scale.reshape(1, N).astype(jnp.float32) + b2d).astype(out_dtype)
+
+    if _dispatch_xla(M, K, N):
+        return _xla()
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         bk = _fit_block_k(K)
-        if bk is None:
-            y = jnp.dot(x, codes.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            return (y * scale.reshape(1, N).astype(jnp.float32)
-                    + b2d).astype(out_dtype)
+        if bk is None:  # no remainder-free k tile
+            return _xla()
         return _int8_matmul_ktiled(
             x, codes, scale, b2d, out_dtype,
             block_m=block_m, block_n=block_n, block_k=bk,
@@ -467,10 +478,7 @@ def int8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     scale2d = scale.reshape(1, N).astype(jnp.float32)
@@ -556,10 +564,7 @@ def lns4_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
     # each packed tile must sit entirely in one half
     while N_half % block_n:
         block_n = _shrink_n(block_n)
@@ -694,7 +699,8 @@ def w8a8_matmul(
     assert K == K2, (x.shape, codes.shape)
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if _dispatch_xla(M, K, N):
+
+    def _xla():
         # XLA also runs the native s8 x s8 MXU dot; per-row dynamic act quant
         # vectorizes fine outside the kernel
         xq, rscale = _w8a8_quant_rows(x)
@@ -702,19 +708,16 @@ def w8a8_matmul(
             xq, codes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = acc.astype(jnp.float32) * rscale * scale.reshape(1, N).astype(jnp.float32)
+        y = (acc.astype(jnp.float32) * rscale
+             * scale.reshape(1, N).astype(jnp.float32))
         return (y + b2d).astype(out_dtype)
+
+    if _dispatch_xla(M, K, N):
+        return _xla()
     if _FORCE_KTILED or K > _K_RESIDENT_MAX:
         bk = _fit_block_k(K)
-        if bk is None:
-            xq, rscale = _w8a8_quant_rows(x)
-            acc = jax.lax.dot_general(
-                xq, codes, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = (acc.astype(jnp.float32) * rscale
-                 * scale.reshape(1, N).astype(jnp.float32))
-            return (y + b2d).astype(out_dtype)
+        if bk is None:  # no remainder-free k tile
+            return _xla()
         return _w8a8_matmul_ktiled(
             x, codes, scale, b2d, out_dtype,
             block_m=block_m, block_n=block_n, block_k=bk,
@@ -725,10 +728,7 @@ def w8a8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2 + bm * K) + 2 * (K * bn) + 2 * (bm * bn * 4)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     scale2d = scale.reshape(1, N).astype(jnp.float32)
@@ -943,10 +943,7 @@ def mx_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     return pl.pallas_call(
@@ -1096,10 +1093,7 @@ def fp8_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
 
     grid = (_cdiv(N, block_n), _cdiv(M, block_m))
     return pl.pallas_call(
@@ -1175,10 +1169,7 @@ def fp4_matmul(
     def _vmem(bm, bn):
         return 2 * (bm * K * 2) + 2 * (K * bn) + K * bn * 2 + 2 * (bm * bn * 2)
 
-    while block_n > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_n = _shrink_n(block_n)
-    while block_m > 128 and _vmem(block_m, block_n) > _VMEM_BUDGET:
-        block_m //= 2
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
     while N_half % block_n:
         block_n = _shrink_n(block_n)
 

@@ -184,15 +184,17 @@ def _mx_matmul_cp(exp_bits: int, man_bits: int, block_size: int,
     return cp
 
 
-@functools.lru_cache(maxsize=None)
-def _lns4_matmul_cp(out_dtype_name: str):
-    dtype = jnp.dtype(out_dtype_name)
+def _halves_matmul_cp(local_matmul):
+    """Shared halves-layout (nibble-packed) partitioning factory.
+
+    ``local_matmul(x, packed) -> [M, N_local]``; the wrapper reshapes to
+    [M, 2, N_local/2] so axis 2 tracks the packed byte columns contiguously,
+    making the column-parallel all-gather a plain tiled gather (see module
+    docstring). lns4 and fp4 share this verbatim — only the kernel differs.
+    """
 
     def local3(x, packed):
-        # [M, N_local] halves-major -> [M, 2, N_local/2]: axis 2 then tracks
-        # the packed byte columns contiguously, making the column-parallel
-        # all-gather a plain tiled gather (see module docstring)
-        y = qmm.lns4_matmul(x, packed, out_dtype=dtype)
+        y = local_matmul(x, packed)
         m, n = y.shape
         return y.reshape(m, 2, n // 2)
 
@@ -232,6 +234,13 @@ def _lns4_matmul_cp(out_dtype_name: str):
     return cp
 
 
+@functools.lru_cache(maxsize=None)
+def _lns4_matmul_cp(out_dtype_name: str):
+    dtype = jnp.dtype(out_dtype_name)
+    return _halves_matmul_cp(
+        lambda x, packed: qmm.lns4_matmul(x, packed, out_dtype=dtype)
+    )
+
 
 @functools.lru_cache(maxsize=None)
 def _fp8_matmul_cp(exp_bits: int, man_bits: int, e_bias: int,
@@ -262,47 +271,9 @@ def _add_bias(y, bias):
 @functools.lru_cache(maxsize=None)
 def _fp4_matmul_cp(out_dtype_name: str):
     dtype = jnp.dtype(out_dtype_name)
-
-    def local3(x, packed):
-        # same halves-major 3-D output trick as _lns4_matmul_cp
-        y = qmm.fp4_matmul(x, packed, out_dtype=dtype)
-        m, n = y.shape
-        return y.reshape(m, 2, n // 2)
-
-    cp = custom_partitioning(local3)
-
-    def infer(mesh, arg_shapes, result_shape):
-        xrow, kax, _ = _resolve(arg_shapes)
-        return NamedSharding(mesh, P(xrow, None, None))
-
-    def partition(mesh, arg_shapes, result_shape):
-        xrow, kax, nax = _resolve(arg_shapes)
-
-        if kax is not None:
-            def lower(x, p):
-                return jax.lax.psum(local3(x, p), kax)
-
-            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
-                    (NamedSharding(mesh, P(xrow, kax)),
-                     NamedSharding(mesh, P(kax, None))))
-
-        if nax is not None:
-            def lower(x, p):
-                return jax.lax.all_gather(local3(x, p), nax, axis=2, tiled=True)
-
-            return (mesh, lower, NamedSharding(mesh, P(xrow, None, None)),
-                    (NamedSharding(mesh, P(xrow, None)),
-                     NamedSharding(mesh, P(None, nax))))
-
-        return (mesh, local3, NamedSharding(mesh, P(xrow, None, None)),
-                (NamedSharding(mesh, P(xrow, None)),
-                 NamedSharding(mesh, P(None, None))))
-
-    cp.def_partition(
-        infer_sharding_from_operands=infer, partition=partition,
-        sharding_rule="i j, j k -> i h k",
+    return _halves_matmul_cp(
+        lambda x, packed: qmm.fp4_matmul(x, packed, out_dtype=dtype)
     )
-    return cp
 
 
 def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16, bias=None):
