@@ -152,6 +152,18 @@ class TPUMLM(LM):
         order = sorted(range(len(rows)), key=lambda i: -len(rows[i][0]))
         out = [None] * len(rows)
         reordered = [(i, rows[i]) for i in order]
+
+        # depth-1 dispatch pipeline (same pattern as tpu_lm): pack+dispatch
+        # chunk i+1 before fetching chunk i's two scalars per row
+        pending = None
+
+        def _collect(entry):
+            ll, match, idxs = entry
+            ll = np.asarray(jax.device_get(ll))
+            match = np.asarray(jax.device_get(match))
+            for j, orig_i in enumerate(idxs):
+                out[orig_i] = (float(ll[j]), bool(match[j]))
+
         for chunk in utils.chunks(reordered, self._batch_size):
             B = len(chunk)
             S = _bucket_len(max(len(ids) for _, (ids, _) in chunk))
@@ -168,10 +180,12 @@ class TPUMLM(LM):
             ll, match = self._score_jit(
                 self.bundle.params, toks, amask, pos, tgt
             )
-            ll = np.asarray(jax.device_get(ll))
-            match = np.asarray(jax.device_get(match))
-            for j, (orig_i, _) in enumerate(chunk):
-                out[orig_i] = (float(ll[j]), bool(match[j]))
+            if pending is not None:
+                _collect(pending)
+            pending = (ll, match, [orig_i for orig_i, _ in chunk])
+
+        if pending is not None:
+            _collect(pending)
         return out
 
     def loglikelihood(self, requests):
