@@ -34,6 +34,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
+# Build the C++ janitor extension on demand so its parity tests run (the
+# reference requires a manual compile, janitor.py:8-9; here the suite builds
+# it once and tests skip only if no toolchain is available).
+try:
+    import janitor_cc  # noqa: F401
+except ImportError:
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        timeout=300,
+        check=False,
+    )
+
 
 @pytest.fixture(autouse=True)
 def _exercise_fused_kernels():
