@@ -22,8 +22,13 @@ GPT3_TRANSLATION_BENCHMARKS = {
 
 SELECTED_TRANSLATION_BENCHMARKS = {
     **GPT3_TRANSLATION_BENCHMARKS,
-    "wmt20": ["en-de", "de-en", "en-ru", "ru-en", "en-zh", "zh-en", "en-ja",
-              "ja-en", "en-fr", "fr-en"],
+    # the full wmt20 pair list, frozen from
+    # sacrebleu.get_langpairs_for_testset("wmt20") — the expression the
+    # reference evaluates at import (lm_eval/tasks/__init__.py:83-87)
+    "wmt20": ["cs-en", "de-en", "de-fr", "en-cs", "en-de", "en-iu", "en-ja",
+              "en-km", "en-pl", "en-ps", "en-ru", "en-ta", "en-zh", "fr-de",
+              "iu-en", "ja-en", "km-en", "pl-en", "ps-en", "ru-en", "ta-en",
+              "zh-en"],
     "iwslt17": ["en-ar", "ar-en"],
 }
 
