@@ -59,14 +59,23 @@ class Task(abc.ABC):
         )
 
     def _load_local_splits(self, data_dir):
-        """Load ``{split}.json`` / ``{split}.jsonl`` files from a directory."""
+        """Load every ``{split}.json`` / ``{split}.jsonl`` in the directory.
+
+        The split name is the file stem — tasks use names beyond the usual
+        train/validation/test (MMLU/C-Eval/CMMLU ``dev`` exemplars, C-Eval
+        ``val``, ANLI ``train_r1``..``test_r3``), and dropping those silently
+        broke few-shot sampling offline.
+        """
         out = {}
-        for split in ("train", "validation", "test"):
-            for ext, loader in (("json", self._load_json), ("jsonl", self._load_jsonl)):
-                path = os.path.join(data_dir, f"{split}.{ext}")
-                if os.path.exists(path):
-                    out[split] = loader(path)
-                    break
+        for fname in sorted(os.listdir(data_dir)):
+            stem, dot, ext = fname.rpartition(".")
+            if not dot:
+                continue
+            path = os.path.join(data_dir, fname)
+            if ext == "json" and stem not in out:
+                out[stem] = self._load_json(path)
+            elif ext == "jsonl" and stem not in out:
+                out[stem] = self._load_jsonl(path)
         return out
 
     @staticmethod

@@ -32,8 +32,6 @@ class ARCEasy(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         # some answerKeys are numeric strings; map them to letters
         num_to_letter = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
         answer_key = num_to_letter.get(doc["answerKey"], doc["answerKey"])

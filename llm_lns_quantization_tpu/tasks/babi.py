@@ -44,7 +44,9 @@ class Babi(Task):
         return " " + doc["answer"]
 
     def construct_requests(self, doc, ctx):
-        return rf.greedy_until(ctx, {"until": ["\n"]})
+        # the reference's one legacy list-form until arg (babi.py:69); engines
+        # accept both forms, and request-arg parity keeps cache keys aligned
+        return rf.greedy_until(ctx, ["\n"])
 
     def process_results(self, doc, results):
         return {"em": doc["answer"].strip() == results[0].strip()}

@@ -106,8 +106,6 @@ class CevalSubject(MultipleChoiceTask):
         return super().fewshot_context(doc=doc, num_fewshot=num_fewshot, **kwargs)
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         keys = ["A", "B", "C", "D"]
         question = doc["question"].strip()
         choices = "".join(f"{key}. {doc[key]}\n" for key in keys)

@@ -120,8 +120,6 @@ class CmmluSubject(MultipleChoiceTask):
         return super().fewshot_context(doc=doc, num_fewshot=num_fewshot, **kwargs)
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         keys = ["A", "B", "C", "D"]
         question = doc["Question"].strip()
         choices = "".join(f"{key}. {doc[key]}\n" for key in keys)

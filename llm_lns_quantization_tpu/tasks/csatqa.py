@@ -26,8 +26,6 @@ class CSATQA(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         instruction = f"""다음을 읽고 정답으로 알맞은 것을 고르시요.
 ### Context: {doc["context"]}
 ### Question: {doc["question"]}

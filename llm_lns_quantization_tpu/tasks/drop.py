@@ -40,8 +40,6 @@ class DROP(Task):
         return map(self._process_doc, self.dataset["validation"])
 
     def _process_doc(self, doc):
-        if "answers" in doc and "passage" in doc and "id" in doc:
-            return doc
         return {
             "id": doc["query_id"],
             "passage": doc["passage"],

@@ -26,8 +26,6 @@ class Haerae(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "choices" in doc:
-            return doc
         choices = [doc["o1"], doc["o2"], doc["o3"], doc["o4"]]
         if doc.get("o5") is not None:
             choices.append(doc["o5"])

@@ -31,8 +31,6 @@ class HeadQABase(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         return {
             "id": doc["qid"],
             "query": "Question: " + doc["qtext"] + "\nAnswer:",

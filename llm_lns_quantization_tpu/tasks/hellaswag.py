@@ -31,8 +31,6 @@ class HellaSwag(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["validation"])
 
     def _process_doc(self, doc):
-        if "query" in doc:  # already processed (fixture docs)
-            return doc
         ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize()
         return {
             "query": self.preprocess(doc["activity_label"] + ": " + ctx),

@@ -233,8 +233,6 @@ class EthicsUtilitarianism(Ethics):
             yield self._process_doc(doc)
 
     def _process_doc(self, doc):
-        if "scenarios" in doc:
-            return doc
         rnd = random.Random(doc["activity"])
         scenarios = [doc["activity"], doc["baseline"]]
         ordering = [0, 1]

@@ -29,9 +29,6 @@ class LogiQA(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
-
         def format_example(doc, choices):
             prompt = "Passage: " + doc["context"] + "\n"
             prompt += "Question: " + doc["question"] + "\nChoices:\n"
@@ -41,9 +38,7 @@ class LogiQA(MultipleChoiceTask):
             return prompt
 
         choices = ["a", "b", "c", "d"]
-        gold = doc["label"]
-        if isinstance(gold, str):
-            gold = choices.index(gold)
+        gold = choices.index(doc["label"])
         return {
             "passage": doc["context"],
             "query": format_example(doc, choices),

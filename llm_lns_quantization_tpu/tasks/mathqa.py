@@ -35,8 +35,6 @@ class MathQA(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         answer_idx = ["a", "b", "c", "d", "e"].index(doc["correct"])
         choices = [
             c[4:].rstrip(" ,")

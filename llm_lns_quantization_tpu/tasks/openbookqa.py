@@ -32,8 +32,6 @@ class OpenBookQA(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         return {
             "id": doc["id"],
             "query": doc["question_stem"],

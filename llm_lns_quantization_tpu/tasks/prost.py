@@ -30,8 +30,6 @@ class PROST(MultipleChoiceTask):
         )
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         return {
             "query": f"{doc['context']}\nQuestion: {doc['ex_question']}\nAnswer:",
             "choices": [doc["A"], doc["B"], doc["C"], doc["D"]],

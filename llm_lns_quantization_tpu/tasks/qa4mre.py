@@ -25,8 +25,6 @@ class QA4MRE(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["train"])
 
     def _process_doc(self, doc):
-        if "query" in doc and "source" in doc:
-            return doc
         choices = doc["answer_options"]["answer_str"]
         return {
             "source": doc["document_str"].strip().replace("'", "'"),

@@ -92,8 +92,6 @@ class QASPER(Task):
 
     def _process_doc(self, doc):
         """Flatten a paper into one obs per (question, answer annotation)."""
-        if "question" in doc:  # already flattened (fixtures)
-            return [doc]
         obs_list = []
         for question, answer_list in zip(doc["qas"]["question"], doc["qas"]["answers"]):
             for answer_blob in answer_list["answer"]:

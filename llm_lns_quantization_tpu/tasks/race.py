@@ -42,9 +42,6 @@ class RACE(Task):
             return []
         by_article = collections.defaultdict(list)
         for item in self.dataset[split]:
-            if "problems" in item:  # already collated (fixture docs)
-                by_article[item["article"]] = item["problems"]
-                continue
             by_article[item["article"]].append(item)
         res = []
         for article, items in by_article.items():

@@ -30,8 +30,6 @@ class SATAnalogies(MultipleChoiceTask):
         return []
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         return {
             "source": doc["source"],
             "query": doc["stem"].split(" ")[:2],

@@ -32,8 +32,6 @@ class SciQ(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["test"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         choices = [
             doc["distractor1"],
             doc["distractor2"],

@@ -29,8 +29,6 @@ class SWAG(MultipleChoiceTask):
         return map(self._process_doc, self.dataset["validation"])
 
     def _process_doc(self, doc):
-        if "query" in doc:
-            return doc
         return {
             "query": doc["startphrase"],
             "choices": [doc["ending0"], doc["ending1"], doc["ending2"], doc["ending3"]],

@@ -32,7 +32,14 @@ def main():
         task = task_lib.get_task(name)()  # hits the HF hub
         out_dir = os.path.join(args.out, name)
         os.makedirs(out_dir, exist_ok=True)
-        for split in ("train", "validation", "test"):
+        # dump EVERY split the dataset ships — tasks read names beyond
+        # train/validation/test (MMLU/C-Eval/CMMLU dev, C-Eval val, ANLI
+        # train_r1..test_r3) and the offline loader keys splits by file stem
+        try:
+            splits = list(task.dataset.keys())
+        except Exception:
+            splits = ["train", "validation", "test"]
+        for split in splits:
             try:
                 rows = task.dataset[split] if split in task.dataset else None
             except Exception:

@@ -461,38 +461,50 @@ FIXTURE_DOCS.update({
     },
     "drop": {
         "train": [
-            {"id": "d0", "passage": "The team scored 21 points in the first half and 14 in the second.",
+            {"query_id": "d0",
+             "passage": "The team scored 21 points in the first half and 14 in the second.",
              "question": "How many points did the team score in total?",
-             "answers": [["35"]]},
+             "answer": {"number": "35",
+                        "date": {"day": "", "month": "", "year": ""},
+                        "spans": []},
+             "validated_answers": {"number": [], "date": [], "spans": []}},
         ],
         "validation": [
-            {"id": "d1", "passage": "The bridge was built in 1920 and rebuilt in 1950.",
+            {"query_id": "d1",
+             "passage": "The bridge was built in 1920 and rebuilt in 1950.",
              "question": "How many years between construction and rebuilding?",
-             "answers": [["30"]]},
-            {"id": "d2", "passage": "Anna ran 5 km on Monday and 3 km on Tuesday.",
+             "answer": {"number": "30",
+                        "date": {"day": "", "month": "", "year": ""},
+                        "spans": []},
+             "validated_answers": {"number": [], "date": [], "spans": []}},
+            {"query_id": "d2",
+             "passage": "Anna ran 5 km on Monday and 3 km on Tuesday.",
              "question": "How many km did Anna run?",
-             "answers": [["8"], ["8 km"]]},
+             "answer": {"number": "8",
+                        "date": {"day": "", "month": "", "year": ""},
+                        "spans": []},
+             "validated_answers": {"number": [""],
+                                   "date": [{"day": "", "month": "", "year": ""}],
+                                   "spans": [["8 km"]]}},
         ],
     },
+    # raw HF race schema: one row per question; tasks collate per article
     "race": {
         "train": [
             {"article": "The library opens at nine in the morning and closes at five.",
-             "problems": [
-                 {"question": "When does the library open?",
-                  "options": ["At nine", "At five", "At noon", "At eight"],
-                  "answer": "A"},
-             ]},
+             "question": "When does the library open?",
+             "options": ["At nine", "At five", "At noon", "At eight"],
+             "answer": "A"},
         ],
         "test": [
             {"article": "Ben planted a small garden. He watered it every day and soon green shoots appeared.",
-             "problems": [
-                 {"question": "What did Ben plant?",
-                  "options": ["a tree", "a garden", "a flag", "a fence"],
-                  "answer": "B"},
-                 {"question": "Question: How often did Ben water it?",
-                  "options": ["every day", "weekly", "never", "monthly"],
-                  "answer": "A"},
-             ]},
+             "question": "What did Ben plant?",
+             "options": ["a tree", "a garden", "a flag", "a fence"],
+             "answer": "B"},
+            {"article": "Ben planted a small garden. He watered it every day and soon green shoots appeared.",
+             "question": "Question: How often did Ben water it?",
+             "options": ["every day", "weekly", "never", "monthly"],
+             "answer": "A"},
         ],
     },
     "logiqa": {
@@ -501,14 +513,14 @@ FIXTURE_DOCS.update({
              "question": "Which conclusion follows?",
              "options": ["Lee attended the meeting.", "Lee was absent.",
                          "Lee is not a manager.", "The meeting was cancelled."],
-             "label": 0},
+             "label": "a"},
         ],
         "test": [
             {"context": "If it rains, the match is postponed. The match was not postponed.",
              "question": "What can be concluded?",
              "options": ["It rained.", "It did not rain.",
                          "The match was cancelled.", "Nothing follows."],
-             "label": 1},
+             "label": "b"},
         ],
     },
     "mathqa": {
@@ -889,34 +901,64 @@ _register_family(_family("pile_"), lambda name: {
     "test": [{"text": f"Test document for {name} describing topic {_sig(name)} in detail."}],
 })
 
-# MMLU: dev exemplars + validation + test (processed docs)
+# MMLU: dev exemplars + validation + test (raw HF schema:
+# question / choices / int answer — _process_doc builds the query)
+def _mmlu_raw(name, i):
+    return {
+        "question": f"Sample {name} question {_sig(name)}-{i}?",
+        "choices": [f"option {_sig(name)}-{i}-{j}" for j in range(4)],
+        "answer": (i + _sig(name)) % 4,
+    }
+
+
 _register_family(_family("hendrycksTest-"), lambda name: {
-    "dev": [_mc_proc(name, 10), _mc_proc(name, 11)],
-    "validation": [_mc_proc(name, 20)],
-    "test": [_mc_proc(name, 0), _mc_proc(name, 1)],
+    "dev": [_mmlu_raw(name, 10), _mmlu_raw(name, 11)],
+    "validation": [_mmlu_raw(name, 20)],
+    "test": [_mmlu_raw(name, 0), _mmlu_raw(name, 1)],
 })
 
-# CMMLU: dev exemplars + test (validation maps test)
+
+# CMMLU / C-Eval: raw exam-CSV schema (Question/A-D/Answer letter)
+def _exam_raw(name, i, qkey="Question", akey="Answer"):
+    return {
+        qkey: f"Sample {name} question {_sig(name)}-{i}?",
+        "A": f"option {_sig(name)}-{i}-0", "B": f"option {_sig(name)}-{i}-1",
+        "C": f"option {_sig(name)}-{i}-2", "D": f"option {_sig(name)}-{i}-3",
+        akey: "ABCD"[(i + _sig(name)) % 4],
+    }
+
+
 _register_family(_family("cmmlu-"), lambda name: {
-    "dev": [_mc_proc(name, 10, answer_prompt="答案：")],
-    "test": [_mc_proc(name, 0, answer_prompt="答案："),
-             _mc_proc(name, 1, answer_prompt="答案：")],
+    "dev": [_exam_raw(name, 10)],
+    "test": [_exam_raw(name, 0), _exam_raw(name, 1)],
 })
 
-# C-Eval: dev exemplars + val
 _register_family(_family("Ceval-valid-"), lambda name: {
-    "dev": [_mc_proc(name, 10, answer_prompt="答案："),
-            _mc_proc(name, 11, answer_prompt="答案：")],
-    "val": [_mc_proc(name, 0, answer_prompt="答案："),
-            _mc_proc(name, 1, answer_prompt="答案：")],
+    "dev": [_exam_raw(name, 10, qkey="question", akey="answer"),
+            _exam_raw(name, 11, qkey="question", akey="answer")],
+    "val": [_exam_raw(name, 0, qkey="question", akey="answer"),
+            _exam_raw(name, 1, qkey="question", akey="answer")],
 })
 
-# csatqa / haerae: Korean MC suites (processed docs, 5 and 4-5 choices)
+# csatqa / haerae: Korean MC suites (raw schemas: csatqa keeps
+# context/question/option#N/1-based gold; haerae query/oN/1-based gold)
 _register_family(_family("csatqa_"), lambda name: {
-    "test": [_mc_proc(name, 0, n_choices=5), _mc_proc(name, 1, n_choices=5)],
+    "test": [
+        {"context": f"지문 {_sig(name)}-{i}.",
+         "question": f"질문 {_sig(name)}-{i}?",
+         **{f"option#{j + 1}": f"보기 {_sig(name)}-{i}-{j}" for j in range(5)},
+         "gold": (i + _sig(name)) % 5 + 1}
+        for i in range(2)
+    ],
 })
 _register_family(_family("haerae_"), lambda name: {
-    "test": [_mc_proc(name, 0), _mc_proc(name, 1)],
+    "test": [
+        {"query": f"질문 {_sig(name)}-{i}?",
+         **{f"o{j + 1}": f"보기 {_sig(name)}-{i}-{j}" for j in range(4)},
+         "o5": None,
+         "gold": str((i + _sig(name)) % 4 + 1)}
+        for i in range(2)
+    ],
 })
 
 # XCOPA (premise final-period is stripped by doc_to_text)
@@ -1102,14 +1144,15 @@ _register_family(["ethics_virtue"], lambda name: {
              {"scenario": "They donated the surplus to the shelter.",
               "trait": "generous", "label": 1, "group_id": 0}],
 })
+# raw schema: activity (the preferable scenario) + baseline; _process_doc
+# shuffles their order with a rng seeded from the activity string
 _register_family(["ethics_utilitarianism"], lambda name: {
-    "train": [{"scenarios": ["I fixed the leak before it flooded.",
-                             "I ignored the leak until it flooded."],
-               "label": 1}],
-    "test": [{"scenarios": ["The picnic was sunny and relaxed.",
-                            "The picnic was rained out."], "label": 1},
-             {"scenarios": ["I missed the bus and was late.",
-                            "I caught the early bus."], "label": 0}],
+    "train": [{"activity": "I fixed the leak before it flooded.",
+               "baseline": "I ignored the leak until it flooded."}],
+    "test": [{"activity": "The picnic was sunny and relaxed.",
+              "baseline": "The picnic was rained out."},
+             {"activity": "I caught the early bus.",
+              "baseline": "I missed the bus and was late."}],
 })
 
 # CrowS-Pairs bias-type slices: docs must match the task's bias_type filter
@@ -1140,17 +1183,20 @@ def _crows_docs(name):
 
 _register_family(_family("crows_pairs_"), _crows_docs)
 
-# QA4MRE years (processed docs carry query + source + choices + gold)
+# QA4MRE years (raw schema: document_str / question_str / nested
+# answer_options / 1-based correct_answer_id)
 _register_family(_family("qa4mre_"), lambda name: {
     "train": [
-        {"source": f"Reading passage {_sig(name)} about a study.",
-         "query": f"What is passage {_sig(name)} about?",
-         "choices": ["a study", "a recipe", "a song", "a map", "a game"],
-         "gold": 0},
-        {"source": f"Second passage {_sig(name)} about results.",
-         "query": f"What does passage {_sig(name)} report?",
-         "choices": ["results", "weather", "sports", "prices", "news"],
-         "gold": 0},
+        {"document_str": f"Reading passage {_sig(name)} about a study.",
+         "question_str": f"What is passage {_sig(name)} about?",
+         "answer_options": {"answer_str": ["a study", "a recipe", "a song",
+                                           "a map", "a game"]},
+         "correct_answer_id": "1"},
+        {"document_str": f"Second passage {_sig(name)} about results.",
+         "question_str": f"What does passage {_sig(name)} report?",
+         "answer_options": {"answer_str": ["results", "weather", "sports",
+                                           "prices", "news"]},
+         "correct_answer_id": "1"},
     ],
 })
 
@@ -1236,16 +1282,18 @@ _register_family(["headqa", "headqa_es"], lambda name: {
               "ra": "4"}],
 })
 _register_family(["mutual_plus"], lambda name: FIXTURE_DOCS["mutual"])
+# raw SAT-analogies schema: stem/choices hold space-separated word pairs,
+# solution is a lowercase letter
 _register_family(["sat"], lambda name: {
     "validation": [
-        {"source": "fixture", "query": ["ship", "sea"],
-         "choices": ["car is to road", "bird is to nest",
-                     "book is to page", "fish is to bicycle", "sun is to moon"],
-         "gold": 0},
-        {"source": "fixture", "query": ["pen", "paper"],
-         "choices": ["brush is to canvas", "fork is to song",
-                     "lamp is to cloud", "shoe is to cloud", "key is to sky"],
-         "gold": 0},
+        {"source": "fixture", "stem": "ship sea n:n",
+         "choices": ["car road n:n", "bird nest n:n", "book page n:n",
+                     "fish bicycle n:n", "sun moon n:n"],
+         "solution": "a"},
+        {"source": "fixture", "stem": "pen paper n:n",
+         "choices": ["brush canvas n:n", "fork song n:n", "lamp cloud n:n",
+                     "shoe cloud n:n", "key sky n:n"],
+         "solution": "a"},
     ],
 })
 
@@ -1312,19 +1360,38 @@ FIXTURE_DOCS.update({
              }}},
         ],
     },
+    # raw HF qasper schema: one row per paper with nested qas; tasks flatten
+    # to one obs per (question, answer annotation)
     "qasper": {
         "train": [
             {"title": "A Study of Parsing", "abstract": "We study parsers.",
-             "question": "Which corpus do they parse?", "answer": "the news corpus",
-             "answer_type": "free form answer"},
+             "qas": {
+                 "question": ["Which corpus do they parse?"],
+                 "answers": [{"answer": [
+                     {"unanswerable": False, "yes_no": None,
+                      "free_form_answer": "the news corpus",
+                      "extractive_spans": []},
+                 ]}],
+             }},
         ],
         "validation": [
             {"title": "Neural Methods", "abstract": "We present a model.",
-             "question": "What dataset is used?", "answer": "the treebank",
-             "answer_type": "free form answer"},
-            {"title": "Neural Methods", "abstract": "We present a model.",
-             "question": "Is the approach supervised?", "answer": False,
-             "answer_type": "bool"},
+             "qas": {
+                 "question": ["What dataset is used?",
+                              "Is the approach supervised?"],
+                 "answers": [
+                     {"answer": [
+                         {"unanswerable": False, "yes_no": None,
+                          "free_form_answer": "the treebank",
+                          "extractive_spans": []},
+                     ]},
+                     {"answer": [
+                         {"unanswerable": False, "yes_no": False,
+                          "free_form_answer": "",
+                          "extractive_spans": []},
+                     ]},
+                 ],
+             }},
         ],
     },
     "quac": {
