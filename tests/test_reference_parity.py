@@ -213,3 +213,97 @@ def test_prompt_parity_vs_reference(task_name):
         if rc1 is not None:
             oc1 = ours.fewshot_context(od, 1, rnd=random.Random(42))
             assert rc1 == oc1, f"fewshot_context(1)\n ref={rc1!r}\n got={oc1!r}"
+
+
+# ---------------------------------------------------------------------------
+# metric wiring parity: identical fake LM results through both sides'
+# process_results, then both sides' aggregation over the collected values
+# ---------------------------------------------------------------------------
+
+# reference-side aggregation delegates to HF datasets.load_metric (scrolls
+# ROUGE/F1, squad_v2) — a hub fetch, impossible offline; per-doc
+# process_results parity still runs for these, aggregation is compared by
+# our own metric unit tests instead
+AGGREGATION_OFFLINE_GATED = {
+    "scrolls_govreport", "scrolls_narrativeqa", "scrolls_qasper",
+    "scrolls_qmsum", "scrolls_summscreenfd", "squad2",
+}
+
+# reference process_results needs the nagisa ja tokenizer (same gate as ours)
+RESULTS_GATED = {"wmt20-en-ja"}
+
+
+def req_list(reqs):
+    """Flatten construct_requests output to the per-value request list the
+    evaluator produces (reference evaluator.py:268-292)."""
+    if reqs is None:
+        return []
+    if not isinstance(reqs, (list, tuple)):
+        reqs = [reqs]
+    return list(reqs)
+
+
+def fake_results(reqs):
+    """Deterministic fake LM outputs honoring Request index destructuring."""
+    out = []
+    for i, r in enumerate(reqs):
+        full = {
+            "loglikelihood": (-(0.25 + 0.13 * i), i % 2 == 0),
+            "loglikelihood_rolling": -(1.5 + 0.17 * i),
+            "greedy_until": f"fake response {i}",
+        }[r.request_type]
+        idx = getattr(r, "index", None)
+        out.append(full if idx is None else full[idx])
+    return out
+
+
+def assert_value_equal(a, b, path):
+    import numpy as np
+
+    if isinstance(a, dict) and isinstance(b, dict):
+        assert set(a) == set(b), f"{path}: keys {set(a)} vs {set(b)}"
+        for k in a:
+            assert_value_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        assert len(a) == len(b), f"{path}: len {len(a)} vs {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert_value_equal(x, y, f"{path}[{i}]")
+    elif isinstance(a, (int, float, np.floating, bool)) and isinstance(
+        b, (int, float, np.floating, bool)
+    ):
+        assert np.allclose(
+            float(a), float(b), rtol=1e-9, atol=1e-12, equal_nan=True
+        ), f"{path}: {a} vs {b}"
+    else:
+        assert a == b, f"{path}: {a!r} vs {b!r}"
+
+
+@pytest.mark.parametrize(
+    "task_name",
+    sorted(n for n in FIXTURE_DOCS if n not in STUB_TASKS | RESULTS_GATED),
+)
+def test_results_and_aggregation_parity_vs_reference(task_name):
+    ours = make_task(task_name)
+    ref = make_ref_task(task_name, FIXTURE_DOCS[task_name])
+
+    agg_ref, agg_our = {}, {}
+    for rd, od in zip(scoring_docs(ref), scoring_docs(ours)):
+        ctx = ref.doc_to_text(rd)
+        vals = fake_results(req_list(ref.construct_requests(rd, ctx)))
+        rres = ref.process_results(rd, list(vals))
+        ores = ours.process_results(od, list(vals))
+        assert_value_equal(rres, ores, f"{task_name}.process_results")
+        for k, v in rres.items():
+            agg_ref.setdefault(k, []).append(v)
+        for k, v in ores.items():
+            agg_our.setdefault(k, []).append(v)
+
+    assert ref.higher_is_better() == ours.higher_is_better()
+    if task_name in AGGREGATION_OFFLINE_GATED:
+        return
+    ragg, oagg = ref.aggregation(), ours.aggregation()
+    for k in agg_ref:
+        assert k in ragg and k in oagg, f"aggregation key {k} missing"
+        assert_value_equal(
+            ragg[k](agg_ref[k]), oagg[k](agg_our[k]), f"{task_name}.agg.{k}"
+        )
