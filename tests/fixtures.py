@@ -17,7 +17,8 @@ FIXTURE_DOCS = {
     "wikitext": {
         "train": [{"page": _WIKI_PAGE}],
         "validation": [{"page": _WIKI_PAGE}, {"page": " = History = \n Early work on logarithms . \n"}],
-        "test": [{"page": _WIKI_PAGE * 2}],
+        "test": [{"page": _WIKI_PAGE * 2},
+                 {"page": " = Logarithms = \n A logarithm maps products to sums , simplifying long computations . \n"}],
     },
     "lambada_standard": {
         "validation": [
@@ -94,7 +95,13 @@ FIXTURE_DOCS = {
                 "question": "What gas do humans exhale?",
                 "choices": {"text": ["carbon dioxide", "helium", "neon", "argon"], "label": ["A", "B", "C", "D"]},
                 "answerKey": "1",
-            }
+            },
+            {
+                "id": "x2",
+                "question": "Which planet is closest to the sun?",
+                "choices": {"text": ["Venus", "Mercury", "Mars", "Jupiter"], "label": ["A", "B", "C", "D"]},
+                "answerKey": "B",
+            },
         ],
     },
     "openbookqa": {
@@ -323,6 +330,10 @@ FIXTURE_DOCS.update({
              "query": "The @placeholder team published their findings.",
              "entities": ["Scientists", "forest"],
              "answers": ["Scientists"]},
+            {"passage": "The council approved the new bridge on Tuesday.\n@highlight\nBridge approved",
+             "query": "Construction of @placeholder begins next spring.",
+             "entities": ["the new bridge", "the council"],
+             "answers": ["the new bridge"]},
         ],
     },
     "cola": {
@@ -605,6 +616,8 @@ FIXTURE_DOCS.update({
         "test_r1": [
             {"premise": "A band played music at the festival.",
              "hypothesis": "There was live music.", "label": 0},
+            {"premise": "The train left the station at noon.",
+             "hypothesis": "The train never departed.", "label": 2},
         ],
     },
     "prost": {
@@ -775,7 +788,8 @@ FIXTURE_DOCS.update({
     },
     "pile_arxiv": {
         "validation": [{"text": "We study the spectral properties of random matrices."}],
-        "test": [{"text": "In this paper we prove a bound on mixing times of Markov chains."}],
+        "test": [{"text": "In this paper we prove a bound on mixing times of Markov chains."},
+                 {"text": "We derive a sharper constant for the spectral gap estimate."}],
     },
     "wmt16-en-de": {
         "test": [
@@ -895,10 +909,12 @@ _register_family(_family("blimp_"), lambda name: {
     ],
 })
 
-# pile subsets: perplexity over raw text
+# pile subsets: perplexity over raw text (2 scoring docs so analytic
+# stderr over per-doc metrics is well-defined)
 _register_family(_family("pile_"), lambda name: {
     "validation": [{"text": f"Validation document for {name} with id {_sig(name)}."}],
-    "test": [{"text": f"Test document for {name} describing topic {_sig(name)} in detail."}],
+    "test": [{"text": f"Test document for {name} describing topic {_sig(name)} in detail."},
+             {"text": f"Second test document for {name} with token id {_sig(name)}."}],
 })
 
 # MMLU: dev exemplars + validation + test (raw HF schema:
@@ -1269,7 +1285,9 @@ _register_family(["babi"], lambda name: {
     "valid": [{"passage": "John took the ball. ", "question": "Who has the ball? ",
                "answer": "John"}],
     "test": [{"passage": "Sandra went to the garden. ", "question": "Where is Sandra? ",
-              "answer": "garden"}],
+              "answer": "garden"},
+             {"passage": "Daniel picked up the apple. ", "question": "Who has the apple? ",
+              "answer": "Daniel"}],
 })
 _register_family(["headqa", "headqa_es"], lambda name: {
     "train": [{"qid": "e0", "qtext": "Cual organo bombea la sangre?",
@@ -1309,6 +1327,10 @@ FIXTURE_DOCS.update({
             {"story": "Mia baked bread on Sunday. She shared it with her neighbor.",
              "questions": {"input_text": ["What did Mia bake?", "Who did she share it with?"]},
              "answers": {"input_text": ["bread", "her neighbor"]},
+             "additional_answers": {}},
+            {"story": "Omar fixed the old bicycle. He rode it to the market.",
+             "questions": {"input_text": ["What did Omar fix?", "Where did he ride?"]},
+             "answers": {"input_text": ["the old bicycle", "to the market"]},
              "additional_answers": {}},
         ],
     },

@@ -26,10 +26,12 @@ KeyError on any real decontamination run of the reference):
 """
 
 import functools
+import json
 import os
 import random
 import sys
 import types
+import zlib
 
 import pytest
 
@@ -276,6 +278,73 @@ def assert_value_equal(a, b, path):
         ), f"{path}: {a} vs {b}"
     else:
         assert a == b, f"{path}: {a!r} vs {b!r}"
+
+
+# ---------------------------------------------------------------------------
+# evaluator-level end-to-end parity: the reference's evaluate() vs ours with
+# the same deterministic fake LM (responses a pure function of request args,
+# immune to internal request reordering on either side)
+# ---------------------------------------------------------------------------
+
+EVAL_TASKS = ["piqa", "boolq", "wikitext", "babi", "record", "coqa", "gsm8k",
+              "hellaswag", "arc_easy", "wmt16-en-de", "drop", "truthfulqa_mc",
+              "hendrycksTest-anatomy", "lambada_openai", "winogrande",
+              "triviaqa", "anli_r1", "toxigen", "crows_pairs_english",
+              "pile_arxiv", "ethics_utilitarianism", "mc_taco", "wsc273",
+              "mutual", "webqs"]
+
+ZERO_SHOT_ONLY_EVAL = {"wikitext", "truthfulqa_mc", "pile_arxiv",
+                       "crows_pairs_english"}
+
+
+class SeededFakeLM:
+    def _h(self, args):
+        return zlib.crc32(json.dumps(args, sort_keys=True, default=str).encode())
+
+    def loglikelihood(self, requests):
+        return [(-(self._h(a) % 1000) / 100.0 - 0.01, self._h(a) % 2 == 0)
+                for a in requests]
+
+    def loglikelihood_rolling(self, requests):
+        return [-(self._h(a) % 1000) / 50.0 - 0.01 for a in requests]
+
+    def greedy_until(self, requests):
+        return [f"resp {self._h(a) % 97}" for a in requests]
+
+
+@pytest.mark.parametrize("num_fewshot", [0, 1])
+def test_evaluate_end_to_end_parity_vs_reference(num_fewshot, monkeypatch, capsys):
+    load_reference_registry()
+    import lm_eval.evaluator as ref_evaluator
+    import lm_eval.metrics as ref_metrics
+
+    from llm_lns_quantization_tpu.harness import evaluator as our_evaluator
+    from llm_lns_quantization_tpu.harness import metrics as our_metrics
+
+    # stderr math has its own tests (bootstrap ~= analytic in test_harness);
+    # here compare pure metric values — the reference's stderr path also
+    # div-zeroes under bootstrap_iters=0
+    monkeypatch.setattr(ref_metrics, "stderr_for_metric",
+                        lambda metric, bootstrap_iters: None)
+    monkeypatch.setattr(our_metrics, "stderr_for_metric",
+                        lambda metric, bootstrap_iters: None)
+
+    names = [n for n in EVAL_TASKS
+             if not (num_fewshot and n in ZERO_SHOT_ONLY_EVAL)]
+    ref_tasks = {n: make_ref_task(n, FIXTURE_DOCS[n]) for n in names}
+    our_tasks = {n: make_task(n) for n in names}
+
+    r = ref_evaluator.evaluate(
+        lm=SeededFakeLM(), task_dict=ref_tasks, num_fewshot=num_fewshot,
+        limit=None, bootstrap_iters=0)
+    o = our_evaluator.evaluate(
+        lm=SeededFakeLM(), task_dict=our_tasks, num_fewshot=num_fewshot,
+        limit=None, bootstrap_iters=0)
+    capsys.readouterr()  # the reference evaluate prints every prompt
+
+    for n in names:
+        assert_value_equal(r["results"][n], o["results"][n], f"{n}.results")
+        assert r["versions"][n] == o["versions"][n], f"{n}.version"
 
 
 @pytest.mark.parametrize(
