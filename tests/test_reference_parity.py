@@ -376,3 +376,58 @@ def test_results_and_aggregation_parity_vs_reference(task_name):
         assert_value_equal(
             ragg[k](agg_ref[k]), oagg[k](agg_our[k]), f"{task_name}.agg.{k}"
         )
+
+
+# ---------------------------------------------------------------------------
+# utility-level cross-checks: rolling windows and the decontamination janitor
+# against the reference's own implementations on randomized inputs
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_token_windows_parity_vs_reference():
+    load_reference_registry()
+    import lm_eval.utils as ref_utils
+
+    from llm_lns_quantization_tpu import utils as our_utils
+
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randrange(0, 40)
+        tokens = [rng.randrange(3, 999) for _ in range(n)]
+        max_len = rng.randrange(2, 12)
+        ctx_len = rng.randrange(1, max_len + 1)
+        ref_w = list(ref_utils.get_rolling_token_windows(
+            tokens, prefix_token=1, max_seq_len=max_len, context_len=ctx_len))
+        our_w = list(our_utils.get_rolling_token_windows(
+            tokens, prefix_token=1, max_seq_len=max_len, context_len=ctx_len))
+        assert ref_w == our_w, (tokens, max_len, ctx_len)
+        assert ([ref_utils.make_disjoint_window(p) for p in ref_w]
+                == [our_utils.make_disjoint_window(p) for p in our_w])
+
+
+def test_janitor_parity_vs_reference():
+    load_reference_registry()
+    sys.path.append(os.path.join(REFERENCE_ROOT, "lm_eval", "decontamination"))
+    from lm_eval.decontamination.janitor import Janitor as RefJanitor
+
+    from llm_lns_quantization_tpu.decontamination.janitor import Janitor
+
+    rng = random.Random(11)
+    words = ("alpha", "beta;", "Gamma,", "delta", "EPSILON", "zeta!", "eta",
+             "theta?", "iota", "kappa's", "12.5", "mu-nu", "\n", "  ")
+    corpus = " ".join(rng.choice(words) for _ in range(2000))
+    contaminant = "gamma delta epsilon zeta"
+
+    for n, window, min_slice, cutoff in [(2, 10, 5, 10), (3, 30, 10, 2),
+                                         (1, 0, 1, 100)]:
+        ref_j = RefJanitor(ngram_n=n, window_to_remove=window,
+                           minimum_slice_length=min_slice,
+                           too_dirty_cutoff=cutoff)
+        our_j = Janitor(ngram_n=n, window_to_remove=window,
+                        minimum_slice_length=min_slice,
+                        too_dirty_cutoff=cutoff)
+        ref_j.register_contaminant_python(contaminant)
+        our_j.register_contaminant_python(contaminant)
+        assert ref_j.dirt_ngrams == our_j.dirt_ngrams
+        assert ref_j.normalize_string(corpus) == our_j.normalize_string(corpus)
+        assert ref_j.clean_python(corpus) == our_j.clean_python(corpus)
