@@ -1200,3 +1200,66 @@ def fp4_matmul(
             transcendentals=0,
         ),
     )(x, packed, b2d)
+
+
+# ---------------------------------------------------------------------------
+# NF4 (QLoRA NormalFloat-4) matmul: nibble codebook + per-K-block absmax
+# ---------------------------------------------------------------------------
+
+
+def _nf4_nib_decode(nib):
+    """NF4 nibble [.., 4 bits] -> f32 code value via a 15-deep select chain.
+
+    Unlike the LNS/FP nibbles, NF4 code values are arbitrary quantile
+    constants, so there is no bit-assembly shortcut — but a constant select
+    chain is still elementwise, so XLA fuses it into the dot's operand read
+    exactly like the other decodes (a 16-entry gather would not fuse)."""
+    from ..quant.formats import NF4_CODE
+
+    v = jnp.float32(NF4_CODE[15])
+    for i in reversed(range(15)):
+        v = jnp.where(nib == i, jnp.float32(NF4_CODE[i]), v)
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "out_dtype"))
+def nf4_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    bscale: jax.Array,
+    block_size: int = 64,
+    out_dtype=jnp.bfloat16,
+    bias=None,
+) -> jax.Array:
+    """[M, K] bf16 @ nibble-packed NF4 [K, N] -> [M, N].
+
+    ``packed`` uses the halves layout and ``bscale`` is halves-aligned
+    [K/block, 2, N/2] (ops.packing.NF4Weight). Runs as two XLA dots with the
+    decode + block-scale multiply as elementwise producers of each dot's
+    weight operand (see _xla_halves_dot for why two dots, not a concat).
+
+    Deliberately no fused Mosaic variant: the halves-layout kernel study
+    (BASELINE.md — lns4's fused kernel measured 0.66x of this XLA dispatch
+    at 7B decode shapes) showed the packed tile being read once per output
+    half plus in-tile decode->dot serialization loses more than the packed
+    read saves, and NF4 adds a scale multiply on top. XLA fuses the decode
+    into its own matmul's operand read, so the weight is only ever read
+    packed either way.
+    """
+    M, K = x.shape
+    K2, N_half = packed.shape
+    N = N_half * 2
+    assert K == K2 and K % block_size == 0, (x.shape, packed.shape, block_size)
+    b2d = _bias2d(bias, N)
+    u = packed.astype(jnp.int32)
+
+    def _half(h):
+        val = _nf4_nib_decode((u >> (4 * h)) & 0xF)
+        s = bscale[:, h, :]
+        w = (
+            val.reshape(K // block_size, block_size, N_half) * s[:, None, :]
+        ).reshape(K, N_half).astype(jnp.bfloat16)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    y = jnp.concatenate([_half(0), _half(1)], axis=1) + b2d
+    return y.astype(out_dtype)

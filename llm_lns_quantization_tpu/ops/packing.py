@@ -477,3 +477,91 @@ def unpack_fp4(q: FP4Weight, dtype=jnp.bfloat16) -> jax.Array:
     e = ((nib >> 1) & 0x3) - 2
     mag = jnp.ldexp(1.0 + (nib & 1).astype(jnp.float32) * 0.5, e)
     return jnp.where((nib & 0x8) != 0, -mag, mag).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class NF4Weight:
+    """True 4-bit NF4 (QLoRA NormalFloat) weights: codebook nibbles packed
+    two per byte (halves layout along N, like LNS4Weight) + per-(K-block,
+    column) float32 absmax scales.
+
+    Nibble = index into quant.formats.NF4_CODE; value = NF4_CODE[nib] *
+    absmax[block, col] — exactly the grid of quant.formats.nf4_quant with
+    blocks along K. This is the storage format of the reference's
+    bitsandbytes ``load_in_4bit`` path (huggingface.py:1799-1822), here
+    first-class instead of behind a CUDA-only loader. ``bscale`` is stored
+    halves-aligned [K/block, 2, N/2] (axis 2 tracks the packed byte columns)
+    so tensor-parallel shards of packed bytes and scales stay contiguous
+    together (ops/tp.py).
+
+    HBM traffic: 0.5 B/elem of codes + 4/block B/elem of scales
+    (0.5625 B at block 64) vs 2 B bf16.
+    """
+
+    def __init__(self, packed, bscale, block_size: int):
+        self.packed = packed    # uint8 [K, N//2]
+        self.bscale = bscale    # f32 [K/block, 2, N//2]
+        self.block_size = block_size
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.packed.shape[1] * 2)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("packed"), self.packed),
+            (jax.tree_util.GetAttrKey("bscale"), self.bscale),
+        ), self.block_size
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def pack_nf4(w: jax.Array, block_size: int = 64,
+             double_quant: bool = False) -> NF4Weight:
+    """Quantize [K, N] onto the nf4_quant grid (K-axis blocks) and pack
+    codebook nibbles two per byte (halves layout along N).
+
+    ``double_quant`` stores the double-quantized absmax reconstruction in
+    ``bscale`` (value-identical to quant.formats.nf4_dq; storage stays f32 —
+    the scales are 1/128 of the codes' bytes, so re-compressing them buys
+    nothing on this tier)."""
+    from ..quant.formats import _int8_block_quant_flat, _nf4_snap_codes
+
+    K, N = w.shape
+    assert K % block_size == 0 and N % 2 == 0, (w.shape, block_size)
+    w = w.astype(jnp.float32)
+    xb = w.reshape(K // block_size, block_size, N)
+    absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+    absmax = jnp.where(absmax == 0, 1.0, absmax)
+    nib = _nf4_snap_codes(xb / absmax).reshape(K, N).astype(jnp.uint8)
+    if double_quant:  # codes use the true absmax; only the stored scale moves
+        flat = absmax.reshape(-1)
+        offset = jnp.mean(flat)
+        flat = _int8_block_quant_flat(flat - offset, 256) + offset
+        absmax = flat.reshape(absmax.shape)
+    lo = nib[:, : N // 2]
+    hi = nib[:, N // 2 :]
+    bscale = absmax[:, 0, :].reshape(K // block_size, 2, N // 2)
+    return NF4Weight(
+        (lo | (hi << 4)).astype(jnp.uint8), bscale.astype(jnp.float32),
+        block_size,
+    )
+
+
+def unpack_nf4(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference (XLA) dequant — matches quant.formats.nf4_quant elementwise."""
+    from ..quant.formats import NF4_CODE
+
+    u = q.packed.astype(jnp.int32)
+    nib = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=1)
+    val = jnp.asarray(NF4_CODE, jnp.float32)[nib]
+    K, N = val.shape
+    scale = q.bscale.reshape(q.bscale.shape[0], N)
+    val = val.reshape(K // q.block_size, q.block_size, N) * scale[:, None, :]
+    return val.reshape(K, N).astype(dtype)

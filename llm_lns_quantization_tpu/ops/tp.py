@@ -276,6 +276,65 @@ def _fp4_matmul_cp(out_dtype_name: str):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _nf4_matmul_cp(block_size: int, out_dtype_name: str):
+    """Halves-layout partitioning with the extra block-scale operand.
+
+    Same strategy as _halves_matmul_cp; ``bscale`` is halves-aligned
+    [K/block, 2, N/2] (ops/packing.py NF4Weight) precisely so its shards
+    stay congruent with the packed byte columns here: axis 0 tracks the
+    weight's K blocks (row parallel), axis 2 the packed columns (column
+    parallel).
+    """
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local3(x, packed, bscale):
+        y = qmm.nf4_matmul(x, packed, bscale, block_size=block_size,
+                           out_dtype=dtype)
+        m, n = y.shape
+        return y.reshape(m, 2, n // 2)
+
+    cp = custom_partitioning(local3)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, _, _ = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+        out = NamedSharding(mesh, P(xrow, None, None))
+
+        if kax is not None:  # row parallel: partial full-width products
+            def lower(x, p, s):
+                return jax.lax.psum(local3(x, p, s), kax)
+
+            return (mesh, lower, out,
+                    (NamedSharding(mesh, P(xrow, kax)),
+                     NamedSharding(mesh, P(kax, None)),
+                     NamedSharding(mesh, P(kax, None, None))))
+
+        if nax is not None:  # column parallel: gather activation-sized output
+            def lower(x, p, s):
+                return jax.lax.all_gather(local3(x, p, s), nax, axis=2,
+                                          tiled=True)
+
+            return (mesh, lower, out,
+                    (NamedSharding(mesh, P(xrow, None)),
+                     NamedSharding(mesh, P(None, nax)),
+                     NamedSharding(mesh, P(None, None, nax))))
+
+        return (mesh, local3, out,
+                (NamedSharding(mesh, P(xrow, None)),
+                 NamedSharding(mesh, P(None, None)),
+                 NamedSharding(mesh, P(None, None, None))))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, j k, l h k -> i h k",
+    )
+    return cp
+
+
 def lns_matmul(x, codes, frac_bits: int = 3, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns_matmul`` (see module docstring)."""
     if _single_device():
@@ -348,5 +407,16 @@ def fp4_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     if _single_device():
         return qmm.fp4_matmul(x, packed, out_dtype=out_dtype, bias=bias)
     y = _fp4_matmul_cp(jnp.dtype(out_dtype).name)(x, packed)
+    m = y.shape[0]
+    return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)
+
+
+def nf4_matmul(x, packed, bscale, block_size=64, out_dtype=jnp.bfloat16,
+               bias=None):
+    """Partitioning-aware ``ops.matmul.nf4_matmul`` (nibble-packed NF4)."""
+    if _single_device():
+        return qmm.nf4_matmul(x, packed, bscale, block_size=block_size,
+                              out_dtype=out_dtype, bias=bias)
+    y = _nf4_matmul_cp(block_size, jnp.dtype(out_dtype).name)(x, packed, bscale)
     m = y.shape[0]
     return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)

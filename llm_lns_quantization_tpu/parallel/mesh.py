@@ -155,14 +155,20 @@ def param_partition_specs(params, family: str, model_axis_size: int = 1):
         for pat, spec in rules:
             if pat.search(name):
                 if packed_kind == "bscale":
-                    # MX block scales [K/block, N]: same layout as the weight
-                    dims = list(tuple(spec) + (None,) * (2 - len(tuple(spec))))
+                    wdims = tuple(spec) + (None,) * (2 - len(tuple(spec)))
+                    if leaf.ndim == 3:
+                        # NF4 halves-aligned scales [K/block, 2, N/2]: axis 0
+                        # tracks the weight's K, axis 2 its (halved) N
+                        dims = [wdims[0], None, wdims[1]]
+                    else:
+                        # MX block scales [K/block, N]: weight layout
+                        dims = list(wdims[:2])
                     dims = [
                         None
                         if (d is not None
                             and leaf.shape[i] % model_axis_size != 0)
                         else d
-                        for i, d in enumerate(dims[:2])
+                        for i, d in enumerate(dims)
                     ]
                     return P(*dims)
                 if packed_kind == "scale":

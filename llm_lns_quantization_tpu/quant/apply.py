@@ -130,6 +130,17 @@ def quantize_weights(params, config: QuantConfig):
             pack = lambda w: (  # noqa: E731
                 pack_fp4(w) if w.shape[1] % 2 == 0 else fn(w)
             )
+        elif config.weights in ("nf4", "nf4_dq"):
+            from ..ops.packing import pack_nf4
+
+            # nibble codes + per-K-block absmax; layers that don't divide
+            # the 64-block (or have odd N) fall back to fake-quant
+            _dq = config.weights == "nf4_dq"
+            pack = lambda w: (  # noqa: E731
+                pack_nf4(w, double_quant=_dq)
+                if w.shape[0] % 64 == 0 and w.shape[1] % 2 == 0
+                else fn(w)
+            )
         elif config.weights in _FP8_PACK:
             from ..ops.packing import pack_fp8
 

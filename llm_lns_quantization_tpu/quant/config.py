@@ -35,6 +35,8 @@ FORMAT_REGISTRY: Dict[str, Callable] = {
     "mx": formats.mx16_e5m2,          # reference MX active variant
     "mx16_e5m2": formats.mx16_e5m2,
     "mx32_e4m3": formats.mx32_e4m3,
+    "nf4": formats.nf4,               # bnb 4-bit NF4 (reference load_in_4bit)
+    "nf4_dq": formats.nf4_dq,         # + bnb_4bit_use_double_quant
 }
 
 

@@ -446,3 +446,105 @@ def mx_block_quant(
 
 mx16_e5m2 = partial(mx_block_quant, block_size=16, exp_bits=5, man_bits=2)
 mx32_e4m3 = partial(mx_block_quant, block_size=32, exp_bits=4, man_bits=3)
+
+
+# ---------------------------------------------------------------------------
+# NF4 (4-bit NormalFloat, QLoRA) — blockwise absmax + 16-entry codebook
+# ---------------------------------------------------------------------------
+
+# The 16 NF4 code values: quantiles of N(0, 1) normalized to [-1, 1]
+# (QLoRA, Dettmers et al. 2023). These are the exact constants hard-coded in
+# bitsandbytes' dDequantizeNF4 kernel, which the reference loads real 4-bit
+# models through (bnb_4bit_quant_type="nf4", reference huggingface.py:
+# 1799-1822) — the capability this format reproduces without bitsandbytes.
+NF4_CODE = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+)
+
+
+def _nf4_snap_codes(v: Array) -> Array:
+    """Nearest-NF4-code index for values in [-1, 1].
+
+    bitsandbytes' dQuantizeNF4 is a binary decision tree of strict ``>``
+    comparisons against the code midpoints — a value exactly on a midpoint
+    takes the LOWER code. ``searchsorted(..., side="left")`` reproduces that
+    tie rule exactly (first midpoint >= v counts as not-crossed).
+    """
+    mids = jnp.asarray(
+        [(NF4_CODE[i] + NF4_CODE[i + 1]) / 2.0 for i in range(15)],
+        jnp.float32,
+    )
+    return jnp.searchsorted(mids, v, side="left").astype(jnp.int32)
+
+
+def _int8_block_quant_flat(a: Array, block: int):
+    """Symmetric per-block int8 quant of a flat f32 array (pads with zeros).
+
+    Returns the dequantized array — the second-level ("double") quantization
+    of NF4 absmax values. Zero-max blocks pass through unscaled.
+    """
+    n = a.shape[0]
+    nb = -(-n // block)
+    ap = jnp.pad(a, (0, nb * block - n)).reshape(nb, block)
+    absmax = jnp.max(jnp.abs(ap), axis=1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(ap / scale), -127, 127) * scale
+    return q.reshape(nb * block)[:n]
+
+
+@_restore_dtype
+def nf4_quant(
+    x: Array, block_size: int = 64, double_quant: bool = False
+) -> Array:
+    """Fake-quantize to blockwise-absmax NF4 (the QLoRA 4-bit format).
+
+    Semantics follow bitsandbytes ``quantize_4bit(quant_type="nf4")``, the
+    loader behind the reference's ``bnb_4bit_quant_type``/``load_in_4bit``
+    plumb-through (huggingface.py:107-109, 1799-1822): values are grouped
+    into blocks, scaled by the block's absmax into [-1, 1], snapped to the
+    nearest of the 16 NF4 code values (midpoint ties to the lower code, as
+    bnb's comparison tree), and rescaled.
+
+    Two deliberate deviations from bnb (offline — no CUDA bitsandbytes to
+    defer to), both documented here as the contract:
+
+    * blocks run along ``axis=-2`` (rows within a column — K for weights),
+      the same convention as :func:`mx_block_quant`, instead of bnb's
+      flattened-storage order; granularity (``block_size`` elements per
+      absmax) is identical.
+    * an all-zero block keeps scale 1 instead of bnb's 0-division NaN.
+
+    ``double_quant=True`` reproduces ``bnb_4bit_use_double_quant``: the
+    per-block absmax values are themselves 8-bit-quantized (mean offset +
+    symmetric per-256-block int8; bnb uses its dynamic-tree 8-bit map there,
+    the linear map here changes scale precision by <1%).
+    """
+    if x.ndim < 2:
+        raise ValueError("nf4_quant expects rank >= 2")
+    *lead, rows, cols = x.shape
+    num_blocks = -(-rows // block_size)
+    pad = num_blocks * block_size - rows
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad), (0, 0)])
+    xb = xp.reshape(*lead, num_blocks, block_size, cols)
+
+    absmax = jnp.max(jnp.abs(xb), axis=-2, keepdims=True)
+    absmax = jnp.where(absmax == 0, 1.0, absmax)
+    idx = _nf4_snap_codes(xb / absmax)  # codes use the TRUE absmax (as bnb)
+    if double_quant:
+        # only the STORED scale is re-quantized; dequant multiplies by the
+        # reconstructed absmax
+        flat = absmax.reshape(-1)
+        offset = jnp.mean(flat)
+        flat = _int8_block_quant_flat(flat - offset, 256) + offset
+        absmax = flat.reshape(absmax.shape)
+    out = jnp.asarray(NF4_CODE, jnp.float32)[idx] * absmax
+    out = out.reshape(*lead, num_blocks * block_size, cols)
+    return out[..., :rows, :]
+
+
+nf4 = partial(nf4_quant, block_size=64)
+nf4_dq = partial(nf4_quant, block_size=64, double_quant=True)

@@ -730,3 +730,111 @@ def test_pack_lns_element_exact_vs_fake_tier():
     fake4 = np.asarray(lns_quant(jnp.asarray(w4), man_bits=2, frac_bits=1))
     got4 = np.asarray(unpack_lns4(pack_lns4(jnp.asarray(w4)), jnp.float32))
     np.testing.assert_array_equal(got4, fake4)
+
+
+# ---------------------------------------------------------------------------
+# NF4 (QLoRA NormalFloat-4): the reference's bitsandbytes load_in_4bit path
+# (huggingface.py:1799-1822), here as a first-class format + packed tier
+# ---------------------------------------------------------------------------
+
+
+def test_nf4_fake_quant_semantics():
+    """Blockwise-absmax NF4: on-grid, idempotent, block max preserved, zero
+    blocks untouched, ties on code midpoints go to the LOWER code (the bnb
+    decision-tree rule)."""
+    from llm_lns_quantization_tpu.quant.formats import NF4_CODE
+
+    w = rand((128, 48), seed=70, scale=0.7)
+    q = np.asarray(formats.nf4(jnp.asarray(w)))
+    # idempotent
+    np.testing.assert_array_equal(np.asarray(formats.nf4(jnp.asarray(q))), q)
+    # every value = code * block absmax (blocks of 64 along axis 0)
+    xb = w.reshape(2, 64, 48)
+    am = np.abs(xb).max(axis=1, keepdims=True)
+    ratio = q.reshape(2, 64, 48) / am
+    codes = np.asarray(NF4_CODE, np.float32)
+    assert np.isclose(ratio[..., None], codes, atol=1e-6).any(-1).all()
+    # the block absmax element maps to +-1 * absmax (quantizes exactly)
+    flat_idx = np.abs(xb).reshape(2, -1).argmax(axis=1)
+    for b in range(2):
+        r, c = divmod(flat_idx[b], 48)
+        assert abs(q.reshape(2, 64, 48)[b, r, c]) == pytest.approx(am[b, 0, c])
+    # zero block passes through
+    z = jnp.zeros((64, 4))
+    np.testing.assert_array_equal(np.asarray(formats.nf4(z)), 0.0)
+    # midpoint tie -> lower code: scale so one element IS the midpoint
+    mid = (NF4_CODE[8] + NF4_CODE[9]) / 2.0
+    x = jnp.asarray(np.array([[mid], [1.0]], np.float32).repeat(32, 1)
+                    .reshape(2, 32))
+    x = jnp.concatenate([x, jnp.zeros((62, 32))], axis=0)
+    out = np.asarray(formats.nf4(x))
+    assert out[0, 0] == pytest.approx(NF4_CODE[8])
+
+
+def test_nf4_double_quant():
+    """nf4_dq: codes are chosen with the true absmax; the stored scale is
+    8-bit re-quantized with a mean offset, so dequant values shift by <1%
+    of the block scale but stay proportional to the same code indices."""
+    w = rand((256, 32), seed=71)
+    q = np.asarray(formats.nf4(jnp.asarray(w)))
+    qd = np.asarray(formats.nf4_dq(jnp.asarray(w)))
+    am = np.abs(w.reshape(4, 64, 32)).max(axis=1)
+    # same code index per element: ratios to the respective absmax agree
+    assert np.abs(qd - q).max() <= 0.01 * am.max()
+    assert not np.array_equal(qd, q)  # the re-quantization is not a no-op
+
+
+def test_nf4_pack_matches_fake_quant():
+    """pack_nf4 -> unpack_nf4 reproduces formats.nf4 bit-exactly (same grid,
+    same tie rule), including under double quant."""
+    from llm_lns_quantization_tpu.ops.packing import pack_nf4, unpack_nf4
+
+    w = rand((128, 64), seed=72)
+    w[0, 0] = 0.0
+    deq = np.asarray(unpack_nf4(pack_nf4(jnp.asarray(w)), jnp.float32))
+    ref = np.asarray(formats.nf4(jnp.asarray(w)))
+    np.testing.assert_array_equal(deq, ref)
+    dq = np.asarray(
+        unpack_nf4(pack_nf4(jnp.asarray(w), double_quant=True), jnp.float32))
+    np.testing.assert_array_equal(dq, np.asarray(formats.nf4_dq(jnp.asarray(w))))
+
+
+def test_nf4_matmul_matches_dequant_dot():
+    """nf4_matmul (two halves-dots with fused decode+scale) == dequant dot."""
+    from llm_lns_quantization_tpu.ops.packing import pack_nf4, unpack_nf4
+
+    for K, N in [(256, 512), (128, 30)]:
+        w = rand((K, N), seed=73)
+        q = pack_nf4(jnp.asarray(w))
+        x = jnp.asarray(rand((16, K), seed=74, scale=0.5), jnp.bfloat16)
+        b = jnp.asarray(rand((N,), seed=75))
+        got = np.asarray(qmm.nf4_matmul(
+            x, q.packed, q.bscale, block_size=64, out_dtype=jnp.float32,
+            bias=b))
+        # unlike the LNS/FP grids, code * absmax is not bf16-representable,
+        # so the comparison must use the same bf16-rounded decode the matmul
+        # feeds the MXU
+        want = np.asarray(jnp.dot(
+            x.astype(jnp.float32),
+            unpack_nf4(q, jnp.bfloat16).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + b[None, :])
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_nf4_pallas_model_path():
+    """w:nf4;pallas packs matmul weights as NF4Weight; layers whose K does
+    not divide the 64-block fall back to fake-quant; forward is finite."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import NF4Weight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
+    real = build_model(family="llama", preset="tiny", seed=0,
+                       quant=QuantConfig.parse("w:nf4;pallas"),
+                       dtype=jnp.float32)
+    leaves = jax.tree_util.tree_leaves(
+        real.params, is_leaf=lambda x: isinstance(x, NF4Weight))
+    assert any(isinstance(l, NF4Weight) for l in leaves)
+    out = real.forward(real.params, real.cfg, tokens)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -539,3 +539,35 @@ def test_multihost_lm_wrapper():
     assert hosts[0].seen == reqs[0::2]
     assert hosts[1].seen == reqs[1::2]
     assert merged == [(float(len(r[0])), True) for r in reqs]
+
+
+@requires_multidevice
+def test_tp_nf4_sharded_matches_dense():
+    """NF4 nibble matmul under custom_partitioning: the halves-aligned
+    bscale [K/64, 2, N/2] shards congruently with the packed bytes in both
+    column- and row-parallel layouts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_nf4
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(8)
+    M, K, N = 16, 256, 2048
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    q = pack_nf4(w)
+    ref = np.asarray(qmm.nf4_matmul(x, q.packed, q.bscale,
+                                    out_dtype=jnp.float32))
+
+    fn = lambda a, p, s: tp.nf4_matmul(a, p, s, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec, sspec in [
+        (P(None, "model"), P(None, None, "model")),  # column parallel
+        (P("model", None), P("model", None, None)),  # row parallel
+    ]:
+        p = jax.device_put(q.packed, NamedSharding(mesh, wspec))
+        s = jax.device_put(q.bscale, NamedSharding(mesh, sspec))
+        out = jax.jit(fn)(xs, p, s)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
