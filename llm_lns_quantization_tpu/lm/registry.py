@@ -26,7 +26,11 @@ _REGISTRY = {
     "tpu": _lazy("tpu_lm", "TPULM"),
     "tpu-causal": _lazy("tpu_lm", "TPULM"),
     # reference-compatible aliases (the reference's hf-causal-experimental is
-    # the adapter the quant experiments lived in; ours is the TPU engine)
+    # the adapter the quant experiments lived in; ours is the TPU engine).
+    # "hf" and "gpt2" are the reference's legacy HFLM names
+    # (models/__init__.py:8-22)
+    "hf": _lazy("tpu_lm", "TPULM"),
+    "gpt2": _lazy("tpu_lm", "TPULM"),
     "hf-causal": _lazy("tpu_lm", "TPULM"),
     "hf-causal-experimental": _lazy("tpu_lm", "TPULM"),
     "tpu-mlm": _lazy("tpu_mlm", "TPUMLM"),

@@ -41,6 +41,7 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     from ..ops.packing import (
         FP4Weight,
         FP8Weight,
+        Int4GroupWeight,
         Int8Weight,
         LNS4Weight,
         LNSWeight,
@@ -49,7 +50,7 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     )
 
     if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight,
-                      FP4Weight, NF4Weight)):
+                      FP4Weight, NF4Weight, Int4GroupWeight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -77,6 +78,11 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
             y2 = qmm.nf4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, w.bscale,
                 block_size=w.block_size, out_dtype=x.dtype, bias=b,
+            )
+        elif isinstance(w, Int4GroupWeight):
+            y2 = qmm.int4g_matmul(
+                x2.astype(jnp.bfloat16), w.packed, w.scale, w.zero,
+                group_size=w.group_size, out_dtype=x.dtype, bias=b,
             )
         elif isinstance(w, FP8Weight):
             y2 = qmm.fp8_matmul(

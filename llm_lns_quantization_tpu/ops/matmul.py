@@ -1207,19 +1207,42 @@ def fp4_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _nf4_nib_decode(nib):
-    """NF4 nibble [.., 4 bits] -> f32 code value via a 15-deep select chain.
+@functools.lru_cache(maxsize=None)
+def _nf4_value_words():
+    """The 16 NF4 code values as bf16 bit patterns, packed 2-per-u32."""
+    import ml_dtypes
+    import numpy as np
 
-    Unlike the LNS/FP nibbles, NF4 code values are arbitrary quantile
-    constants, so there is no bit-assembly shortcut — but a constant select
-    chain is still elementwise, so XLA fuses it into the dot's operand read
-    exactly like the other decodes (a 16-entry gather would not fuse)."""
     from ..quant.formats import NF4_CODE
 
-    v = jnp.float32(NF4_CODE[15])
-    for i in reversed(range(15)):
-        v = jnp.where(nib == i, jnp.float32(NF4_CODE[i]), v)
-    return v
+    bits = [
+        int(np.asarray(np.float32(v), ml_dtypes.bfloat16).view(np.uint16))
+        for v in NF4_CODE
+    ]
+    words = [bits[2 * i] | (bits[2 * i + 1] << 16) for i in range(8)]
+    # as signed int32 two's complement (the high half may carry a sign bit)
+    return tuple(w - (1 << 32) if w >= (1 << 31) else w for w in words)
+
+
+def _nf4_nib_decode(nib):
+    """NF4 nibble [.., 4 bits] -> bf16 code value (as f32) via a packed LUT.
+
+    Unlike the LNS/FP nibbles, NF4 code values are arbitrary quantile
+    constants, so there is no pure bit-assembly shortcut. A naive 15-deep
+    ``where(nib == i, ...)`` chain costs ~30 VPU ops/element and measured
+    0.58x of bf16 decode throughput at 1.5B — the decode sat on the critical
+    path (BASELINE.md). Instead the 16 bf16 code values live packed 2-per-u32
+    in 8 constant words (the _lns_mant_words trick): 7 compare-selects pick
+    the word, one variable shift picks the half, and the bf16 pattern is
+    shifted into float32 position — everything stays elementwise, so XLA
+    still fuses the decode into the dot's operand read."""
+    words = _nf4_value_words()
+    r = nib >> 1
+    w = jnp.int32(words[7])
+    for i in reversed(range(7)):
+        w = jnp.where(r == i, jnp.int32(words[i]), w)
+    bits = ((w >> ((nib & 1) << 4)) & 0xFFFF) << 16
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.int32), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "out_dtype"))
@@ -1237,6 +1260,11 @@ def nf4_matmul(
     [K/block, 2, N/2] (ops.packing.NF4Weight). Runs as two XLA dots with the
     decode + block-scale multiply as elementwise producers of each dot's
     weight operand (see _xla_halves_dot for why two dots, not a concat).
+
+    The decode reads bf16-rounded code values from the packed LUT (the
+    same target-is-bf16 convention as the LNS decodes), so the effective
+    weight differs from unpack_nf4's round-after-scale by <= 2^-8 relative —
+    noise against the 4-bit format's ~6% quantization step.
 
     Deliberately no fused Mosaic variant: the halves-layout kernel study
     (BASELINE.md — lns4's fused kernel measured 0.66x of this XLA dispatch
@@ -1258,6 +1286,49 @@ def nf4_matmul(
         s = bscale[:, h, :]
         w = (
             val.reshape(K // block_size, block_size, N_half) * s[:, None, :]
+        ).reshape(K, N_half).astype(jnp.bfloat16)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    y = jnp.concatenate([_half(0), _half(1)], axis=1) + b2d
+    return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT4 group-affine matmul (the GPTQ/AWQ grid): nibbles + (scale, zero)/group
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def int4g_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    scale: jax.Array,
+    zero: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    bias=None,
+) -> jax.Array:
+    """[M, K] bf16 @ nibble-packed group-affine INT4 [K, N] -> [M, N].
+
+    ``packed`` uses the halves layout; ``scale``/``zero`` are halves-aligned
+    [K/group, 2, N/2] (ops.packing.Int4GroupWeight). Two XLA dots with the
+    nibble upcast and the per-group affine (mul-add) fused as elementwise
+    producers of each dot's weight operand — the same dispatch rationale as
+    nf4_matmul (no fused Mosaic variant: see that docstring).
+    """
+    M, K = x.shape
+    K2, N_half = packed.shape
+    N = N_half * 2
+    assert K == K2 and K % group_size == 0, (x.shape, packed.shape, group_size)
+    b2d = _bias2d(bias, N)
+    u = packed.astype(jnp.int32)
+
+    def _half(h):
+        nib = ((u >> (4 * h)) & 0xF).astype(jnp.float32)
+        g = K // group_size
+        w = (
+            nib.reshape(g, group_size, N_half) * scale[:, h, None, :]
+            + zero[:, h, None, :]
         ).reshape(K, N_half).astype(jnp.bfloat16)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
 

@@ -565,3 +565,79 @@ def unpack_nf4(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
     scale = q.bscale.reshape(q.bscale.shape[0], N)
     val = val.reshape(K // q.block_size, q.block_size, N) * scale[:, None, :]
     return val.reshape(K, N).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class Int4GroupWeight:
+    """True 4-bit group-affine weights (the GPTQ/AWQ storage grid):
+    codes packed two per byte (halves layout along N) + per-(K-group, column)
+    float32 (scale, zero) pairs.
+
+    value = nib * scale[g, col] + zero[g, col], nib in [0, 15] — exactly the
+    grid of quant.formats.int4_group with groups along K, which is also the
+    dequant form of AutoGPTQ checkpoints (models/hf_loader.py:
+    _dequantize_gptq, reference huggingface.py:1859-1874). ``scale`` and
+    ``zero`` are halves-aligned [K/group, 2, N/2] like NF4Weight.bscale.
+
+    HBM traffic: 0.5 B/elem of codes + 8/group B/elem of scales+zeros
+    (0.5625 B at group 128) vs 2 B bf16.
+    """
+
+    def __init__(self, packed, scale, zero, group_size: int):
+        self.packed = packed    # uint8 [K, N//2]
+        self.scale = scale      # f32 [K/group, 2, N//2]
+        self.zero = zero        # f32 [K/group, 2, N//2]
+        self.group_size = group_size
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.packed.shape[1] * 2)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("packed"), self.packed),
+            (jax.tree_util.GetAttrKey("scale"), self.scale),
+            (jax.tree_util.GetAttrKey("zero"), self.zero),
+        ), self.group_size
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+def pack_int4g(w: jax.Array, group_size: int = 128) -> Int4GroupWeight:
+    """Quantize [K, N] onto the int4_group grid (K-axis groups, min/max
+    affine) and pack codes two per byte (halves layout along N)."""
+    K, N = w.shape
+    assert K % group_size == 0 and N % 2 == 0, (w.shape, group_size)
+    w = w.astype(jnp.float32)
+    xg = w.reshape(K // group_size, group_size, N)
+    lo = jnp.min(xg, axis=1, keepdims=True)
+    hi = jnp.max(xg, axis=1, keepdims=True)
+    scale = (hi - lo) / 15.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    nib = jnp.clip(jnp.round((xg - lo) / scale), 0.0, 15.0)
+    nib = nib.reshape(K, N).astype(jnp.uint8)
+    halves = lambda a: a[:, 0, :].reshape(  # noqa: E731
+        K // group_size, 2, N // 2
+    ).astype(jnp.float32)
+    return Int4GroupWeight(
+        (nib[:, : N // 2] | (nib[:, N // 2 :] << 4)).astype(jnp.uint8),
+        halves(scale), halves(lo), group_size,
+    )
+
+
+def unpack_int4g(q: Int4GroupWeight, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference (XLA) dequant — matches quant.formats.int4_group elementwise."""
+    u = q.packed.astype(jnp.int32)
+    nib = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=1).astype(jnp.float32)
+    K, N = nib.shape
+    g = q.scale.shape[0]
+    s = q.scale.reshape(g, N)
+    z = q.zero.reshape(g, N)
+    val = nib.reshape(g, q.group_size, N) * s[:, None, :] + z[:, None, :]
+    return val.reshape(K, N).astype(dtype)

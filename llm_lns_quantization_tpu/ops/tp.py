@@ -420,3 +420,68 @@ def nf4_matmul(x, packed, bscale, block_size=64, out_dtype=jnp.bfloat16,
     y = _nf4_matmul_cp(block_size, jnp.dtype(out_dtype).name)(x, packed, bscale)
     m = y.shape[0]
     return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _int4g_matmul_cp(group_size: int, out_dtype_name: str):
+    """Halves-layout partitioning with (scale, zero) operands — the nf4 rule
+    with one more halves-aligned [K/group, 2, N/2] side band."""
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local3(x, packed, scale, zero):
+        y = qmm.int4g_matmul(x, packed, scale, zero, group_size=group_size,
+                             out_dtype=dtype)
+        m, n = y.shape
+        return y.reshape(m, 2, n // 2)
+
+    cp = custom_partitioning(local3)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, _, _ = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+        out = NamedSharding(mesh, P(xrow, None, None))
+
+        if kax is not None:  # row parallel
+            def lower(x, p, s, z):
+                return jax.lax.psum(local3(x, p, s, z), kax)
+
+            side = NamedSharding(mesh, P(kax, None, None))
+            return (mesh, lower, out,
+                    (NamedSharding(mesh, P(xrow, kax)),
+                     NamedSharding(mesh, P(kax, None)), side, side))
+
+        if nax is not None:  # column parallel
+            def lower(x, p, s, z):
+                return jax.lax.all_gather(local3(x, p, s, z), nax, axis=2,
+                                          tiled=True)
+
+            side = NamedSharding(mesh, P(None, None, nax))
+            return (mesh, lower, out,
+                    (NamedSharding(mesh, P(xrow, None)),
+                     NamedSharding(mesh, P(None, nax)), side, side))
+
+        side = NamedSharding(mesh, P(None, None, None))
+        return (mesh, local3, out,
+                (NamedSharding(mesh, P(xrow, None)),
+                 NamedSharding(mesh, P(None, None)), side, side))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, j k, l h k, l h k -> i h k",
+    )
+    return cp
+
+
+def int4g_matmul(x, packed, scale, zero, group_size=128,
+                 out_dtype=jnp.bfloat16, bias=None):
+    """Partitioning-aware ``ops.matmul.int4g_matmul`` (group-affine INT4)."""
+    if _single_device():
+        return qmm.int4g_matmul(x, packed, scale, zero, group_size=group_size,
+                                out_dtype=out_dtype, bias=bias)
+    y = _int4g_matmul_cp(group_size, jnp.dtype(out_dtype).name)(
+        x, packed, scale, zero)
+    m = y.shape[0]
+    return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)

@@ -147,13 +147,17 @@ def param_partition_specs(params, family: str, model_axis_size: int = 1):
         # — match the rule on the wrapper's path, then place the spec on the
         # inner array (ops/packing.py LNSWeight / Int8Weight / LNS4Weight).
         packed_kind = None
-        for kind in ("codes", "scale", "packed", "bscale"):
+        for kind in ("codes", "scale", "packed", "bscale", "zero"):
             if name.endswith("/" + kind):
                 packed_kind = kind
                 name = name[: -len(kind) - 1]
                 break
         for pat, spec in rules:
             if pat.search(name):
+                if packed_kind in ("scale", "zero") and leaf.ndim == 3:
+                    # Int4GroupWeight halves-aligned side bands share the
+                    # NF4 bscale layout [K/group, 2, N/2]
+                    packed_kind = "bscale"
                 if packed_kind == "bscale":
                     wdims = tuple(spec) + (None,) * (2 - len(tuple(spec)))
                     if leaf.ndim == 3:

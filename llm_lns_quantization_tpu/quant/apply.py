@@ -130,6 +130,16 @@ def quantize_weights(params, config: QuantConfig):
             pack = lambda w: (  # noqa: E731
                 pack_fp4(w) if w.shape[1] % 2 == 0 else fn(w)
             )
+        elif config.weights == "int4g":
+            from ..ops.packing import pack_int4g
+
+            # group-affine nibbles + (scale, zero)/group (the GPTQ grid);
+            # layers that don't divide the group fall back to fake-quant
+            pack = lambda w: (  # noqa: E731
+                pack_int4g(w)
+                if w.shape[0] % 128 == 0 and w.shape[1] % 2 == 0
+                else fn(w)
+            )
         elif config.weights in ("nf4", "nf4_dq"):
             from ..ops.packing import pack_nf4
 

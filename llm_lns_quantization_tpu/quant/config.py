@@ -37,6 +37,7 @@ FORMAT_REGISTRY: Dict[str, Callable] = {
     "mx32_e4m3": formats.mx32_e4m3,
     "nf4": formats.nf4,               # bnb 4-bit NF4 (reference load_in_4bit)
     "nf4_dq": formats.nf4_dq,         # + bnb_4bit_use_double_quant
+    "int4g": formats.int4g,           # GPTQ-grid group-affine INT4 (g=128)
 }
 
 

@@ -548,3 +548,52 @@ def nf4_quant(
 
 nf4 = partial(nf4_quant, block_size=64)
 nf4_dq = partial(nf4_quant, block_size=64, double_quant=True)
+
+
+# ---------------------------------------------------------------------------
+# INT4 group-affine (the GPTQ/AWQ storage grid, data-free calibration)
+# ---------------------------------------------------------------------------
+
+
+@_restore_dtype
+def int4_group(x: Array, group_size: int = 128) -> Array:
+    """Fake-quantize to per-group asymmetric (min/max affine) INT4.
+
+    The grid is the one GPTQ/AWQ checkpoints store — ``w = s[g]*(c - z[g])``
+    with 4-bit codes ``c`` and one (scale, zero) pair per ``group_size``
+    contraction rows per column (reference: AutoGPTQ loading,
+    huggingface.py:1859-1874; models/hf_loader.py dequantizes that exact
+    form) — but calibrated data-free from the tensor itself: per group,
+    ``scale = (max - min)/15``, ``zero = min``, round-half-even codes.
+
+    For a weight ALREADY on a group-affine INT4 grid with the same group
+    structure (i.e. a dequantized GPTQ checkpoint without act-order), min/max
+    recover the original (scale, zero) whenever the group exercises its full
+    code range, so re-quantization is lossless up to float32 rounding
+    (<= 1 ULP) — this is how GPTQ checkpoints
+    ride the packed 4-bit serving tier (``w:int4g;pallas``) without a
+    bitsandbytes/AutoGPTQ dependency.
+
+    Groups run along ``axis=-2`` (K for weights), like :func:`mx_block_quant`
+    and :func:`nf4_quant`; a partial tail group is edge-padded (duplicates of
+    the last real row never move a min or max). Constant groups (max == min)
+    pass through exactly (scale-1 guard, codes all zero).
+    """
+    if x.ndim < 2:
+        raise ValueError("int4_group expects rank >= 2")
+    *lead, rows, cols = x.shape
+    num_groups = -(-rows // group_size)
+    pad = num_groups * group_size - rows
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad), (0, 0)], mode="edge")
+    xg = xp.reshape(*lead, num_groups, group_size, cols)
+
+    lo = jnp.min(xg, axis=-2, keepdims=True)
+    hi = jnp.max(xg, axis=-2, keepdims=True)
+    scale = (hi - lo) / 15.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round((xg - lo) / scale), 0.0, 15.0)
+    out = (q * scale + lo).reshape(*lead, num_groups * group_size, cols)
+    return out[..., :rows, :]
+
+
+int4g = partial(int4_group, group_size=128)

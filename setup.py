@@ -11,7 +11,19 @@ setup(
         "TPU-native LM evaluation harness with first-class quantization "
         "emulation (LNS/FP/MX/INT formats)"
     ),
-    packages=find_packages(exclude=["tests*", "scripts*"]),
+    # compat/lm_eval installs under the reference's package name ``lm_eval``
+    # (an import-compatibility re-export shim; see PARITY.md). It lives in a
+    # subdirectory so the repo-root sys.path entry used by the test suite
+    # cannot shadow the reference checkout's real lm_eval package, which the
+    # oracle-parity tests import from /root/reference.
+    packages=find_packages(exclude=["tests*", "scripts*", "compat*"])
+    + [
+        "lm_eval",
+        "lm_eval.models",
+        "lm_eval.tasks",
+        "lm_eval.decontamination",
+    ],
+    package_dir={"lm_eval": "compat/lm_eval"},
     python_requires=">=3.10",
     install_requires=["jax", "numpy"],
     extras_require={
