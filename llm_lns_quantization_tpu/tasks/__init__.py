@@ -134,9 +134,11 @@ TASK_REGISTRY = {
     # reading comprehension / QA
     "babi": babi.Babi,
     "naturalqs": naturalqs.NaturalQs,
+    "naturalqs_gen": naturalqs.NaturalQsGen,
     "nq_open": nqopen.NQOpen,
     "qasper": qasper.QASPER,
     "quac": quac.QuAC,
+    "quac_gen": quac.QuACGen,
     "coqa": coqa.CoQA,
     "drop": drop.DROP,
     "squad2": squad.SQuAD2,

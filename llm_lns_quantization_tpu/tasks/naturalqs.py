@@ -3,10 +3,19 @@
 Parity: reference lm_eval/tasks/naturalqs.py — the reference also raises
 NotImplementedError for evaluation; kept for registry parity and few-shot
 context reuse.
+
+``naturalqs_gen`` (this repo, non-default key) completes the evaluation:
+greedy generation scored with SQuAD-style EM/F1 against the annotated
+short answers (or the YES/NO annotation), the standard short-answer NQ
+metric family. Docs with no short answer and no yes/no annotation are
+excluded from scoring (there is no gold text to compare against). See
+PARITY.md "quac / naturalqs decision".
 """
 
 from itertools import islice
 
+from ..harness.api import rf
+from ..harness.metrics import mean, squad_exact, squad_f1
 from ..harness.task import Task
 
 
@@ -74,3 +83,63 @@ class NaturalQs(Task):
 
     def higher_is_better(self):
         raise NotImplementedError("Evaluation not implemented")
+
+
+def _short_answer_golds(doc):
+    """Gold strings for short-answer scoring: annotated short-answer texts
+    plus the YES/NO annotation when present. Empty list = unscorable doc."""
+    golds = []
+    ann = doc["annotations"]
+    for sa in ann.get("short_answers", []):
+        golds.extend(t for t in sa.get("text", []) if t)
+    for yn in ann.get("yes_no_answer", []):
+        if yn in ("YES", "NO"):
+            golds.append(yn.capitalize())
+    return golds
+
+
+class NaturalQsGen(NaturalQs):
+    """Completed-evaluation Natural Questions (registry key
+    ``naturalqs_gen``): short-answer EM/F1 over greedy generations.
+
+    The prompt (``Q: …\\n\\nA:``) is inherited from the parity-faithful
+    ``naturalqs``; the target for few-shot examples is the first short
+    answer rather than the long-answer span (generating a whole long-answer
+    passage under a greedy decode is not a measurable contract).
+    """
+
+    VERSION = 0
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = [
+                d for d in islice(self.dataset["train"], 0, 100000)
+                if _short_answer_golds(d)
+            ]
+        return self._training_docs
+
+    def fewshot_examples(self, k, rnd):
+        return rnd.sample(self.training_docs(), k)
+
+    def validation_docs(self):
+        return (d for d in self.dataset["validation"] if _short_answer_golds(d))
+
+    def doc_to_target(self, doc):
+        return " " + _short_answer_golds(doc)[0]
+
+    def construct_requests(self, doc, ctx):
+        return rf.greedy_until(ctx, {"until": ["\n"]})
+
+    def process_results(self, doc, results):
+        pred = results[0]
+        golds = _short_answer_golds(doc)
+        return {
+            "em": max(float(squad_exact(g, pred)) for g in golds),
+            "f1": max(float(squad_f1(g, pred)) for g in golds),
+        }
+
+    def aggregation(self):
+        return {"em": mean, "f1": mean}
+
+    def higher_is_better(self):
+        return {"em": True, "f1": True}

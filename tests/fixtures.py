@@ -1525,3 +1525,8 @@ FIXTURE_DOCS.update({
         ],
     },
 })
+
+# Completed-evaluation variants (PARITY.md "quac / naturalqs decision")
+# reuse the parity-stub tasks' raw-schema fixtures verbatim.
+FIXTURE_DOCS["quac_gen"] = FIXTURE_DOCS["quac"]
+FIXTURE_DOCS["naturalqs_gen"] = FIXTURE_DOCS["naturalqs"]
