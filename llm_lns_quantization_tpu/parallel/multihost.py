@@ -8,9 +8,14 @@ request stream is partitioned host-cyclically with results gathered back to
 every host so the evaluator stays host-count-agnostic (pure request lists
 in, results out — SURVEY.md §7 design note).
 
-Not exercisable on this single-host dev box; the mesh/collective path it
-feeds is validated on the virtual CPU mesh (tests/test_parallel.py) and by
-__graft_entry__.dryrun_multichip.
+Executed for real (not just wired) by
+tests/test_parallel.py::test_two_process_distributed_eval_matches_single:
+two OS processes join a gloo CPU process group via
+``jax.distributed.initialize`` (tests/multihost_worker.py), run the same
+full eval through ``simple_evaluate`` — which auto-wraps the engine in
+``MultihostLM`` — and both must emit results equal to each other and to a
+single-process oracle. The mesh/collective model path is separately
+validated on the virtual CPU mesh and by __graft_entry__.dryrun_multichip.
 """
 
 from typing import List, Optional
