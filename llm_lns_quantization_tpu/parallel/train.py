@@ -29,16 +29,19 @@ def make_train_step(
     mesh,
     quant: Optional[QuantConfig] = None,
     learning_rate: float = 1e-4,
+    tx: Optional[optax.GradientTransformation] = None,
 ):
     """Return (sharded_train_step, init_opt_state).
 
     train_step(params, opt_state, tokens, targets) -> (params, opt_state, loss)
     with params/opt_state sharded per the family rules, batch on ``data``.
+    ``tx`` overrides the default adamw (scripts/train_checkpoint.py passes a
+    warmup-cosine schedule with gradient clipping).
     """
     actq = ActQuantizer(quant or QuantConfig(), use_ste=True)
     cfg = bundle.cfg
     forward = bundle.forward
-    tx = optax.adamw(learning_rate)
+    tx = optax.adamw(learning_rate) if tx is None else tx
 
     def loss_fn(params, tokens, targets):
         logits = forward(params, cfg, tokens, actq).astype(jnp.float32)

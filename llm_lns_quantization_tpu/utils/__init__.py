@@ -84,6 +84,12 @@ def group(arr, fn):
     return list(res.values())
 
 
+def _is_json_task(task_name: str) -> bool:
+    """Reference utils.py:88-90 — ``json=split:key:/path`` names bypass the
+    registry (they carry their dataset path inline)."""
+    return task_name == "json" or task_name.startswith("json=")
+
+
 class MultiChoice:
     """argparse ``choices`` helper supporting comma-separated fnmatch patterns."""
 
@@ -92,7 +98,7 @@ class MultiChoice:
 
     def __contains__(self, values) -> bool:
         for value in values.split(","):
-            if len(fnmatch.filter(self.choices, value)) == 0:
+            if len(fnmatch.filter(self.choices, value)) == 0 and not _is_json_task(value):
                 return False
         return True
 
@@ -101,9 +107,12 @@ class MultiChoice:
 
 
 def pattern_match(patterns: Sequence[str], source_list: Sequence[str]) -> List[str]:
-    """Expand fnmatch wildcards against the task registry (utils.py:114-122)."""
+    """Expand fnmatch wildcards against the task registry (utils.py:114-122);
+    json tasks pass through verbatim (reference :116-118)."""
     task_names = set()
     for pattern in patterns:
+        if _is_json_task(pattern):
+            task_names.add(pattern)
         for matching in fnmatch.filter(source_list, pattern):
             task_names.add(matching)
     return sorted(task_names)

@@ -1,0 +1,125 @@
+"""Build a real-text training corpus from documentation/source on this machine.
+
+No network is available and no pretrained checkpoint or public corpus exists
+on disk (VERDICT round-1 item #1), so the "real pretrained checkpoint" for the
+end-to-end accuracy table is produced locally: this script gathers every
+readable prose/source document on the box (package docs, changelogs, Python
+source) into a deduplicated document corpus with held-out validation/test
+splits, and scripts/train_checkpoint.py trains a GPT-2 on it. The same eval
+pipeline runs unchanged on externally staged checkpoints (docs/checkpoints.md).
+
+Output layout (default corpus/):
+    train.jsonl       one {"text": ...} per document
+    val.json          {"validation": [{"text": ...}, ...]}  (json= ppl task)
+    test.json         {"test": [{"text": ...}, ...]}
+    corpus_stats.json sources, document counts, byte counts
+
+Usage: python scripts/build_corpus.py [--out corpus] [--max-bytes 150000000]
+"""
+
+import argparse
+import hashlib
+import json
+import os
+import random
+import sys
+
+ROOTS = [
+    "/opt/venv/lib/python3.12/site-packages",
+    "/usr/lib/python3.12",
+    "/usr/share/doc",
+    "/opt/skills",
+]
+PROSE_EXT = (".md", ".rst", ".txt")
+CODE_EXT = (".py",)
+MAX_FILE_BYTES = 2 * 1024 * 1024  # skip generated monsters
+MIN_FILE_BYTES = 256
+
+
+def iter_files():
+    for root in ROOTS:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, dirnames, filenames in os.walk(root):
+            # skip our own repo if a root ever contains it, plus VCS/dist noise
+            dirnames[:] = [d for d in dirnames
+                           if d not in (".git", "__pycache__", "node_modules")]
+            for fn in filenames:
+                ext = os.path.splitext(fn)[1].lower()
+                if ext in PROSE_EXT or ext in CODE_EXT:
+                    yield os.path.join(dirpath, fn), ext in CODE_EXT
+
+
+def load_documents(max_bytes):
+    docs, seen = [], set()
+    total = 0
+    n_code = n_prose = 0
+    files = sorted(iter_files())  # deterministic order before shuffling
+    rng = random.Random(0)
+    rng.shuffle(files)
+    for path, is_code in files:
+        if total >= max_bytes:
+            break
+        try:
+            size = os.path.getsize(path)
+            if not (MIN_FILE_BYTES <= size <= MAX_FILE_BYTES):
+                continue
+            with open(path, "rb") as f:
+                raw = f.read()
+            text = raw.decode("utf-8")
+        except (OSError, UnicodeDecodeError):
+            continue
+        digest = hashlib.sha1(text.encode()).digest()
+        if digest in seen:  # vendored copies are everywhere
+            continue
+        seen.add(digest)
+        docs.append(text)
+        total += len(raw)
+        n_code += is_code
+        n_prose += not is_code
+    return docs, total, n_code, n_prose
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="corpus")
+    ap.add_argument("--max-bytes", type=int, default=150_000_000)
+    ap.add_argument("--heldout-docs", type=int, default=128,
+                    help="documents per held-out split")
+    ap.add_argument("--heldout-chars", type=int, default=8192,
+                    help="truncate held-out docs (bounds eval cost)")
+    args = ap.parse_args(argv)
+
+    docs, total, n_code, n_prose = load_documents(args.max_bytes)
+    rng = random.Random(1)
+    rng.shuffle(docs)
+
+    n_hold = 2 * args.heldout_docs
+    heldout, train = docs[:n_hold], docs[n_hold:]
+    val = [{"text": d[: args.heldout_chars]} for d in heldout[: args.heldout_docs]]
+    test = [{"text": d[: args.heldout_chars]} for d in heldout[args.heldout_docs:]]
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "train.jsonl"), "w") as f:
+        for d in train:
+            f.write(json.dumps({"text": d}) + "\n")
+    with open(os.path.join(args.out, "val.json"), "w") as f:
+        json.dump({"validation": val}, f)
+    with open(os.path.join(args.out, "test.json"), "w") as f:
+        json.dump({"test": test}, f)
+    stats = {
+        "documents": len(docs),
+        "train_documents": len(train),
+        "heldout_documents": n_hold,
+        "bytes": total,
+        "code_files": n_code,
+        "prose_files": n_prose,
+        "roots": ROOTS,
+    }
+    with open(os.path.join(args.out, "corpus_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,6 +7,7 @@ tests/test_evaluator.py (fake LM + cache round-trip equality) and the rolling
 
 import random
 
+import numpy as np
 import pytest
 
 from llm_lns_quantization_tpu import utils
@@ -269,3 +270,36 @@ def test_write_out_info_files(tmp_path):
     assert any(k.startswith("logit_") for k in doc)
     assert "truth" in doc
     assert "acc" in doc
+
+
+def test_json_task_through_cli_path(tmp_path):
+    """``--tasks json=split:key:/path`` (reference lm_eval/tasks/json.py +
+    utils.py:88-118): the inline task name must survive MultiChoice validation
+    and pattern_match, and run rolling perplexity end-to-end through
+    simple_evaluate on a local JSON corpus."""
+    import json
+
+    from llm_lns_quantization_tpu import tasks as task_lib
+    from llm_lns_quantization_tpu.harness.evaluator import simple_evaluate
+
+    path = tmp_path / "corpus.json"
+    docs = [{"text": "the quick brown fox jumps over the lazy dog. " * 8},
+            {"text": "pack my box with five dozen liquor jugs. " * 8}]
+    path.write_text(json.dumps({"validation": docs}))
+
+    name = f"json=validation:text:{path}"
+    assert name in utils.MultiChoice(task_lib.ALL_TASKS)
+    matched = utils.pattern_match([name], task_lib.ALL_TASKS)
+    assert matched == [name]
+
+    out = simple_evaluate(
+        model="tpu",
+        model_args="family=gpt2,preset=tiny,dtype=float32,batch_size=2,seed=3",
+        tasks=matched,
+        num_fewshot=0,
+        no_cache=True,
+        bootstrap_iters=0,
+    )
+    res = out["results"][name]
+    for k in ("word_perplexity", "byte_perplexity", "bits_per_byte"):
+        assert np.isfinite(res[k]) and res[k] > 0

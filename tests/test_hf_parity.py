@@ -10,6 +10,7 @@ comparable to the reference's HF-based numbers.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -474,3 +475,32 @@ def test_bert_matches_hf(tmp_path_factory, token_batch):
     # compare only non-pad positions (HF still computes logits at pads)
     _logits_close(ours[0], theirs[0])
     _logits_close(ours[1, :-3], theirs[1, :-3])
+
+
+def test_export_roundtrip_gpt2(tmp_path_factory, token_batch):
+    """models/hf_export.py: a trained param pytree saved as an HF checkpoint
+    must (a) reload bit-identically through our own pretrained=<dir> loader
+    and (b) be a valid stock-transformers GPT2LMHeadModel checkpoint with
+    matching logits — the contract scripts/train_checkpoint.py relies on."""
+    from llm_lns_quantization_tpu.models.hf_export import save_gpt2_checkpoint
+
+    bundle = build_model(
+        family="gpt2", preset="tiny",
+        config_overrides={"vocab_size": 256, "n_positions": 64},
+        dtype=jnp.float32, seed=11,
+    )
+    path = str(tmp_path_factory.mktemp("gpt2_export"))
+    save_gpt2_checkpoint(bundle.cfg, bundle.params, path)
+
+    # (a) our loader round-trips exactly
+    re_bundle = build_model(family="gpt2", checkpoint=path, dtype=jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(bundle.params),
+                    jax.tree_util.tree_leaves(re_bundle.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) stock transformers accepts the checkpoint and agrees on logits
+    hf = transformers.GPT2LMHeadModel.from_pretrained(path).eval()
+    ours = bundle.forward(bundle.params, bundle.cfg, jnp.asarray(token_batch))
+    with torch.no_grad():
+        theirs = hf(torch.tensor(token_batch, dtype=torch.long)).logits
+    _logits_close(ours, theirs)
