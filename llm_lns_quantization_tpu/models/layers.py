@@ -39,18 +39,21 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
     through the dequant-fused Pallas matmul kernels (real-quant tier).
     """
     from ..ops.packing import (
+        FP4KWeight,
         FP4Weight,
         FP8Weight,
         Int4GroupWeight,
         Int8Weight,
+        LNS4KWeight,
         LNS4Weight,
         LNSWeight,
         MXWeight,
         NF4Weight,
     )
 
-    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight,
-                      FP4Weight, NF4Weight, Int4GroupWeight)):
+    if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, LNS4KWeight,
+                      MXWeight, FP8Weight, FP4Weight, FP4KWeight, NF4Weight,
+                      Int4GroupWeight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -68,6 +71,14 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
             )
         elif isinstance(w, LNS4Weight):
             y2 = qmm.lns4_matmul(
+                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
+            )
+        elif isinstance(w, LNS4KWeight):
+            y2 = qmm.lns4k_matmul(
+                x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
+            )
+        elif isinstance(w, FP4KWeight):
+            y2 = qmm.fp4k_matmul(
                 x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
             )
         elif isinstance(w, FP4Weight):

@@ -599,6 +599,135 @@ def lns4_matmul(
 
 
 # ---------------------------------------------------------------------------
+# kpair nibble kernels: the true 0.5 byte/element tier
+# ---------------------------------------------------------------------------
+#
+# The halves-N layout above reads the packed array once per nibble plane
+# (two dots or two grid passes -> effective 1 byte/element, BASELINE.md
+# round-1 "halves-layout ceiling"). The kpair layout (ops.packing.LNS4KWeight
+# / FP4KWeight) pairs adjacent CONTRACTION rows in one byte, so
+#
+#     y = x[:, 0::2] @ decode(lo) + x[:, 1::2] @ decode(hi)
+#
+# and the fused kernel loads each packed tile into VMEM once, decodes both
+# planes, and accumulates both partial dots — each weight byte crosses HBM
+# exactly once. The even/odd activation split happens here, outside the
+# kernel, on the [M, K] activations (tiny in the decode regime).
+
+# Fused-kernel threshold for the kpair tier (weight elements). Unlike the
+# other formats — where XLA's dequant-dot matches the fused kernels'
+# traffic and wins on scheduling (_FUSED_MIN_WEIGHT above) — XLA cannot
+# express the shared packed read across the two plane dots, so the fused
+# kernel is the ONLY true 0.5 B/elem path and dispatches by default in the
+# decode regime for weights at serving scale.
+_KPAIR_FUSED_MIN_WEIGHT = 8 * 2**20
+
+
+def _kpair_split(x):
+    M, K = x.shape
+    xr = x.reshape(M, K // 2, 2)
+    return xr[:, :, 0], xr[:, :, 1]
+
+
+def _xla_kpair_dot(x, packed, nib_decode, b2d, out_dtype):
+    """XLA fallback for kpair weights: two dots, each with the nibble decode
+    fused into its operand read (same 1 B/elem ceiling as the halves layout,
+    but summing partials instead of concatenating output halves)."""
+    xe, xo = _kpair_split(x)
+    u = packed.astype(jnp.int32)
+    y = (
+        jnp.dot(xe, nib_decode(u & 0xF), preferred_element_type=jnp.float32)
+        + jnp.dot(xo, nib_decode((u >> 4) & 0xF),
+                  preferred_element_type=jnp.float32)
+    )
+    return (y + b2d).astype(out_dtype)
+
+
+def _kpair_matmul_kernel(xe_ref, xo_ref, w_ref, b_ref, o_ref, lo_ref, hi_ref,
+                         *, nib_decode, out_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        u = w_ref[...].astype(jnp.int32)  # [K/2, bn] packed bytes, read ONCE
+        lo_ref[...] = nib_decode(u & 0xF)         # rows 0, 2, 4, ...
+        hi_ref[...] = nib_decode((u >> 4) & 0xF)  # rows 1, 3, 5, ...
+
+    o_ref[...] = (
+        jnp.dot(xe_ref[...], lo_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(xo_ref[...], hi_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(out_dtype)
+
+
+def _kpair_matmul(x, packed, nib_decode, block_m, block_n, out_dtype, bias):
+    """[M, K] @ kpair-packed 4-bit [K, N] -> [M, N] (shared lns4k/fp4k body)."""
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == K2 * 2
+    block_m, block_n = _blocks(block_m, block_n)
+    b2d = _bias2d(bias, N)
+    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+            or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
+        return _xla_kpair_dot(x, packed, nib_decode, b2d, out_dtype)
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+
+    def _vmem(bm, bn):
+        # xe+xo double-buffered bf16, packed tile double-buffered, two
+        # decoded planes (scratch), out tile
+        return (2 * (2 * bm * K2 * 2) + 2 * (K2 * bn)
+                + 2 * K2 * bn * 2 + 2 * (bm * bn * 2))
+
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
+    xe, xo = _kpair_split(x.astype(jnp.bfloat16))
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    kernel = functools.partial(
+        _kpair_matmul_kernel, nib_decode=nib_decode, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((K2, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K2, block_n), jnp.bfloat16),
+                        pltpu.VMEM((K2, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K2 * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(xe, xo, packed, b2d)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
+def lns4k_matmul(x, packed, block_m=None, block_n=None,
+                 out_dtype=jnp.bfloat16, bias=None):
+    """[M, K] @ kpair-packed 4-bit LNS [K, N] -> [M, N] (0.5 B/elem reads)."""
+    return _kpair_matmul(x, packed, _lns4_nib_decode, block_m, block_n,
+                         out_dtype, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype"))
+def fp4k_matmul(x, packed, block_m=None, block_n=None,
+                out_dtype=jnp.bfloat16, bias=None):
+    """[M, K] @ kpair-packed E2M1 fp4 [K, N] -> [M, N] (0.5 B/elem reads)."""
+    return _kpair_matmul(x, packed, _fp4_nib_decode, block_m, block_n,
+                         out_dtype, bias)
+
+
+# ---------------------------------------------------------------------------
 # True W8A8: int8 activations x int8 weights on the MXU
 # ---------------------------------------------------------------------------
 #

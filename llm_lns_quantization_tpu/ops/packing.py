@@ -179,13 +179,11 @@ class LNS4Weight:
         return cls(children[0])
 
 
-def pack_lns4(w: jax.Array) -> LNS4Weight:
-    """Quantize to the 4-bit LNS grid and pack two codes per byte (halves
-    layout along N: low nibble = column j, high nibble = column j + N/2)."""
+def _lns4_nibbles(w: jax.Array) -> jax.Array:
+    """[K, N] float -> [K, N] uint8 nibbles on the 4-bit LNS grid (shared by
+    the halves-N and kpair-K packers — one grid, two byte layouts)."""
     from ..quant.formats import _lns_grid_tables
 
-    K, N = w.shape
-    assert N % 2 == 0, "N must be even for nibble packing"
     w = w.astype(jnp.float32)
     mag = jnp.clip(jnp.abs(w), 2.0**-2, 2.0**2)
     # exact boundary-count rounding — see pack_lns
@@ -197,7 +195,15 @@ def pack_lns4(w: jax.Array) -> LNS4Weight:
         j += (m23 >= b).astype(jnp.int32)
     k = jnp.clip(((bits >> 23) - 127) * 2 + j, -4, 3)
     sign = (w < 0).astype(jnp.int32)
-    nib = ((k + 4) | (sign << 3)).astype(jnp.uint8)  # [K, N] in [0, 15]
+    return ((k + 4) | (sign << 3)).astype(jnp.uint8)  # [K, N] in [0, 15]
+
+
+def pack_lns4(w: jax.Array) -> LNS4Weight:
+    """Quantize to the 4-bit LNS grid and pack two codes per byte (halves
+    layout along N: low nibble = column j, high nibble = column j + N/2)."""
+    K, N = w.shape
+    assert N % 2 == 0, "N must be even for nibble packing"
+    nib = _lns4_nibbles(w)
     lo = nib[:, : N // 2]
     hi = nib[:, N // 2 :]
     return LNS4Weight((lo | (hi << 4)).astype(jnp.uint8))
@@ -449,11 +455,9 @@ class FP4Weight:
         return cls(children[0])
 
 
-def pack_fp4(w: jax.Array) -> FP4Weight:
-    """Quantize [K, N] onto the E2M1 fp_quant grid and pack two nibbles per
-    byte (halves layout: low nibble = column j, high = column j + N/2)."""
-    K, N = w.shape
-    assert N % 2 == 0, "N must be even for nibble packing"
+def _fp4_nibbles(w: jax.Array) -> jax.Array:
+    """[K, N] float -> [K, N] uint8 nibbles on the E2M1 fp_quant grid
+    (shared by the halves-N and kpair-K packers)."""
     w = w.astype(jnp.float32)
     c = jnp.clip(jnp.abs(w), 0.25, 4.0)  # fp_quant maps zeros to +down
     e = jnp.floor(jnp.log2(c)).astype(jnp.int32)
@@ -461,11 +465,19 @@ def pack_fp4(w: jax.Array) -> FP4Weight:
     roll = m >= 2
     e = jnp.where(roll, e + 1, e)
     m = jnp.where(roll, 0, m)
-    # top merge: 4.0 (e=2, m=0) -> 3.0 (e=1, m=1); see class docstring
+    # top merge: 4.0 (e=2, m=0) -> 3.0 (e=1, m=1); see FP4Weight docstring
     m = jnp.where(e > 1, 1, m)
     e = jnp.clip(e, -2, 1)
     sign = (w < 0).astype(jnp.int32)
-    nib = ((sign << 3) | ((e + 2) << 1) | m).astype(jnp.uint8)
+    return ((sign << 3) | ((e + 2) << 1) | m).astype(jnp.uint8)
+
+
+def pack_fp4(w: jax.Array) -> FP4Weight:
+    """Quantize [K, N] onto the E2M1 fp_quant grid and pack two nibbles per
+    byte (halves layout: low nibble = column j, high = column j + N/2)."""
+    K, N = w.shape
+    assert N % 2 == 0, "N must be even for nibble packing"
+    nib = _fp4_nibbles(w)
     lo = nib[:, : N // 2]
     hi = nib[:, N // 2 :]
     return FP4Weight((lo | (hi << 4)).astype(jnp.uint8))
@@ -641,3 +653,116 @@ def unpack_int4g(q: Int4GroupWeight, dtype=jnp.bfloat16) -> jax.Array:
     z = q.zero.reshape(g, N)
     val = nib.reshape(g, q.group_size, N) * s[:, None, :] + z[:, None, :]
     return val.reshape(K, N).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# kpair layout: the true 0.5 byte/element nibble tier
+# ---------------------------------------------------------------------------
+#
+# The halves-N layout above pairs output COLUMNS (j, j + N/2) in one byte, so
+# any consumer — the two-dot XLA dispatch or the halves Pallas kernel — must
+# read the full packed array once per nibble plane: effective HBM traffic is
+# 1 byte/element, the same as the 8-bit formats (measured: lns4 7B decode
+# 0.995x bf16, BASELINE.md round-1 "halves-layout ceiling"). The kpair layout
+# pairs adjacent CONTRACTION rows (2k, 2k+1) instead:
+#
+#     packed[k2, n] = nibble(w[2*k2, n]) | nibble(w[2*k2 + 1, n]) << 4
+#
+# so y = x[:, 0::2] @ lo(packed) + x[:, 1::2] @ hi(packed). A fused kernel
+# loads each packed tile into VMEM ONCE, decodes both nibble planes from
+# registers, and accumulates both partial dots — each weight byte crosses HBM
+# exactly once: 0.5 bytes/element. The even/odd activation split happens
+# outside the kernel on the [M, K] activations (tiny in the decode regime
+# this tier targets); pairing adjacent rows (vs K-halves) keeps any even
+# K-shard's pairs shard-local, so row-parallel TP shards stay congruent.
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class LNS4KWeight:
+    """4-bit LNS weights, kpair layout: packed uint8 [K/2, N]; the byte at
+    [k2, n] holds rows 2*k2 (low nibble) and 2*k2+1 (high). Same code grid
+    as LNS4Weight."""
+
+    def __init__(self, packed):
+        self.packed = packed  # uint8 [K//2, N]
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("packed"), self.packed),), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class FP4KWeight:
+    """E2M1 fp4 weights, kpair layout (see LNS4KWeight); same code grid as
+    FP4Weight."""
+
+    def __init__(self, packed):
+        self.packed = packed  # uint8 [K//2, N]
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("packed"), self.packed),), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def _kpair_pack(nib: jax.Array) -> jax.Array:
+    K, N = nib.shape
+    pairs = nib.reshape(K // 2, 2, N)
+    return (pairs[:, 0, :] | (pairs[:, 1, :] << 4)).astype(jnp.uint8)
+
+
+def _kpair_unpack_nibbles(packed: jax.Array) -> jax.Array:
+    u = packed.astype(jnp.int32)
+    K2, N = u.shape
+    return jnp.stack([u & 0xF, (u >> 4) & 0xF], axis=1).reshape(K2 * 2, N)
+
+
+def pack_lns4k(w: jax.Array) -> LNS4KWeight:
+    """Quantize to the 4-bit LNS grid (identical to pack_lns4's) and pack
+    adjacent K rows two per byte."""
+    K, N = w.shape
+    assert K % 2 == 0, "K must be even for kpair packing"
+    return LNS4KWeight(_kpair_pack(_lns4_nibbles(w)))
+
+
+def unpack_lns4k(q: LNS4KWeight, dtype=jnp.bfloat16) -> jax.Array:
+    nib = _kpair_unpack_nibbles(q.packed)
+    k = (nib & 0x7) - 4
+    mag = _lns_exact_mag(k, 1)
+    return jnp.where((nib & 0x8) != 0, -mag, mag).astype(dtype)
+
+
+def pack_fp4k(w: jax.Array) -> FP4KWeight:
+    """Quantize onto the E2M1 grid (identical to pack_fp4's) and pack
+    adjacent K rows two per byte."""
+    K, N = w.shape
+    assert K % 2 == 0, "K must be even for kpair packing"
+    return FP4KWeight(_kpair_pack(_fp4_nibbles(w)))
+
+
+def unpack_fp4k(q: FP4KWeight, dtype=jnp.bfloat16) -> jax.Array:
+    nib = _kpair_unpack_nibbles(q.packed)
+    e = ((nib >> 1) & 0x3) - 2
+    mag = jnp.ldexp(1.0 + (nib & 1).astype(jnp.float32) * 0.5, e)
+    return jnp.where((nib & 0x8) != 0, -mag, mag).astype(dtype)

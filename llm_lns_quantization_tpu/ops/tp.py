@@ -389,6 +389,43 @@ def lns4_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     return _add_bias(y.reshape(m, y.shape[1] * y.shape[2]), bias)
 
 
+@functools.lru_cache(maxsize=None)
+def _kpair_matmul_cp(fmt: str, out_dtype_name: str):
+    """kpair-layout (ops.packing.LNS4KWeight/FP4KWeight) partitioning.
+
+    Much simpler than the halves-N layout: packed [K/2, N] tracks the
+    weight's N contiguously (column parallel is a plain N shard, no output
+    reshuffle), and because each byte pairs ADJACENT K rows, any even K-shard
+    keeps its pairs local — row parallel shards packed rows congruently with
+    x's K sharding and psums the partials. The sharding rule uses a distinct
+    factor for the packed row axis (h = K/2, vs x's j = K)."""
+    dtype = jnp.dtype(out_dtype_name)
+    fn = {"lns4k": qmm.lns4k_matmul, "fp4k": qmm.fp4k_matmul}[fmt]
+
+    def local(x, packed):
+        return fn(x, packed, out_dtype=dtype)
+
+    return _def_partition(
+        custom_partitioning(local), local, "i j, h k -> i k"
+    )
+
+
+def lns4k_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
+    """Partitioning-aware ``ops.matmul.lns4k_matmul`` (0.5 B/elem tier)."""
+    if _single_device():
+        return qmm.lns4k_matmul(x, packed, out_dtype=out_dtype, bias=bias)
+    y = _kpair_matmul_cp("lns4k", jnp.dtype(out_dtype).name)(x, packed)
+    return _add_bias(y, bias)
+
+
+def fp4k_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
+    """Partitioning-aware ``ops.matmul.fp4k_matmul`` (0.5 B/elem tier)."""
+    if _single_device():
+        return qmm.fp4k_matmul(x, packed, out_dtype=out_dtype, bias=bias)
+    y = _kpair_matmul_cp("fp4k", jnp.dtype(out_dtype).name)(x, packed)
+    return _add_bias(y, bias)
+
+
 def fp8_matmul(x, codes, exp_bits=4, man_bits=3, e_bias=7,
                out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.fp8_matmul`` (scale-free custom float)."""

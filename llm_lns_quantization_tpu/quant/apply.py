@@ -110,12 +110,15 @@ def quantize_weights(params, config: QuantConfig):
         from ..ops.packing import pack_int8, pack_lns
 
         if config.weights == "lns4":
-            from ..ops.packing import pack_lns4
+            from ..ops.packing import pack_lns4, pack_lns4k
 
-            # true 4-bit nibble packing (falls back to byte codes if N is odd)
+            # true 4-bit nibble packing: kpair layout (adjacent K rows per
+            # byte — the 0.5 B/elem tier, ops/matmul.py) when K is even,
+            # halves-N when only N is, byte codes otherwise
             _f4, _m4 = _LNS4_BYTE_FALLBACK
             pack = lambda w: (  # noqa: E731
-                pack_lns4(w) if w.shape[1] % 2 == 0
+                pack_lns4k(w) if w.shape[0] % 2 == 0
+                else pack_lns4(w) if w.shape[1] % 2 == 0
                 else pack_lns(w, frac_bits=_f4, man_bits=_m4)
             )
         elif config.weights in _LNS_PACK:
@@ -124,11 +127,14 @@ def quantize_weights(params, config: QuantConfig):
         elif config.weights in _INT8_PACK:
             pack = pack_int8
         elif config.weights in ("fp4", "fp4_e2m1"):
-            from ..ops.packing import pack_fp4
+            from ..ops.packing import pack_fp4, pack_fp4k
 
-            # true 4-bit nibble packing (fake-quant fallback if N is odd)
+            # true 4-bit nibble packing: kpair when K is even, halves-N when
+            # only N is, fake-quant fallback otherwise
             pack = lambda w: (  # noqa: E731
-                pack_fp4(w) if w.shape[1] % 2 == 0 else fn(w)
+                pack_fp4k(w) if w.shape[0] % 2 == 0
+                else pack_fp4(w) if w.shape[1] % 2 == 0
+                else fn(w)
             )
         elif config.weights == "int4g":
             from ..ops.packing import pack_int4g

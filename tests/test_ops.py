@@ -256,13 +256,14 @@ def test_lns4_matmul_interpret():
 
 
 def test_lns4_pallas_model_path():
-    """w:lns4;pallas packs eligible weights as nibbles end-to-end."""
+    """w:lns4;pallas packs eligible weights as nibbles end-to-end (kpair
+    layout by default since round 2; see test_kpair_model_path)."""
     from unittest import mock
 
     from jax.experimental import pallas as pl
 
     from llm_lns_quantization_tpu.models import build_model
-    from llm_lns_quantization_tpu.ops.packing import LNS4Weight
+    from llm_lns_quantization_tpu.ops.packing import LNS4KWeight
     from llm_lns_quantization_tpu.quant import QuantConfig
 
     orig = pl.pallas_call
@@ -277,9 +278,9 @@ def test_lns4_pallas_model_path():
             quant=QuantConfig(weights="lns4", use_pallas=True),
         )
         leaves = jax.tree_util.tree_leaves(
-            b.params, is_leaf=lambda x: isinstance(x, LNS4Weight)
+            b.params, is_leaf=lambda x: isinstance(x, LNS4KWeight)
         )
-        assert any(isinstance(l, LNS4Weight) for l in leaves)
+        assert any(isinstance(l, LNS4KWeight) for l in leaves)
         tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
         out = b.forward(b.params, b.cfg, tokens)
         assert np.all(np.isfinite(np.asarray(out)))
@@ -585,10 +586,11 @@ def test_fp4_matmul_interpret():
 
 
 def test_fp4_pallas_model_path():
-    """w:fp4;pallas packs matmul weights as FP4Weight and the model forward
-    tracks the fake-quant tier (up to the merged top grid point)."""
+    """w:fp4;pallas packs matmul weights as FP4KWeight (kpair layout since
+    round 2) and the model forward tracks the fake-quant tier (up to the
+    merged top grid point)."""
     from llm_lns_quantization_tpu.models import build_model
-    from llm_lns_quantization_tpu.ops.packing import FP4Weight
+    from llm_lns_quantization_tpu.ops.packing import FP4KWeight
     from llm_lns_quantization_tpu.quant import QuantConfig
 
     tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
@@ -596,8 +598,8 @@ def test_fp4_pallas_model_path():
                        quant=QuantConfig.parse("w:fp4;pallas"),
                        dtype=jnp.float32)
     leaves = jax.tree_util.tree_leaves(
-        real.params, is_leaf=lambda x: isinstance(x, FP4Weight))
-    assert any(isinstance(l, FP4Weight) for l in leaves)
+        real.params, is_leaf=lambda x: isinstance(x, FP4KWeight))
+    assert any(isinstance(l, FP4KWeight) for l in leaves)
     out = real.forward(real.params, real.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -951,3 +953,124 @@ def test_int4g_pallas_model_path():
     assert any(isinstance(l, Int4GroupWeight) for l in leaves)
     out = real.forward(real.params, real.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# kpair layout (true 0.5 B/elem nibble tier)
+# ---------------------------------------------------------------------------
+
+
+def test_kpair_pack_same_grid_as_halves():
+    """pack_lns4k/pack_fp4k quantize onto the IDENTICAL grids as the halves
+    packers — only the byte layout differs — so unpacks must agree
+    element-wise."""
+    from llm_lns_quantization_tpu.ops import (
+        pack_fp4, pack_fp4k, pack_lns4, pack_lns4k,
+        unpack_fp4, unpack_fp4k, unpack_lns4, unpack_lns4k,
+    )
+
+    w = jnp.asarray(rand((64, 96), seed=21, scale=1.2))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_lns4k(pack_lns4k(w), jnp.float32)),
+        np.asarray(unpack_lns4(pack_lns4(w), jnp.float32)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_fp4k(pack_fp4k(w), jnp.float32)),
+        np.asarray(unpack_fp4(pack_fp4(w), jnp.float32)),
+    )
+    # byte volume is the same 0.5 B/elem; shapes differ by layout
+    assert pack_lns4k(w).packed.shape == (32, 96)
+    assert pack_lns4k(w).shape == (64, 96)
+
+
+@pytest.mark.parametrize("fmt", ["lns4k", "fp4k"])
+def test_kpair_matmul_xla_path(fmt):
+    """The XLA two-dot fallback (even/odd row split) matches the dense dot on
+    unpacked weights."""
+    from llm_lns_quantization_tpu.ops import (
+        pack_fp4k, pack_lns4k, unpack_fp4k, unpack_lns4k,
+    )
+
+    pack, unpack, mm = {
+        "lns4k": (pack_lns4k, unpack_lns4k, qmm.lns4k_matmul),
+        "fp4k": (pack_fp4k, unpack_fp4k, qmm.fp4k_matmul),
+    }[fmt]
+    M, K, N = 16, 256, 192
+    x = jnp.asarray(rand((M, K), seed=22, scale=0.5), jnp.bfloat16)
+    w = jnp.asarray(rand((K, N), seed=23, scale=0.4))
+    bias = jnp.asarray(rand((N,), seed=24))
+    q = pack(w)
+    got = mm(x, q.packed, out_dtype=jnp.float32, bias=bias)  # small: XLA path
+    want = jnp.dot(
+        x.astype(jnp.float32), unpack(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt", ["lns4k", "fp4k"])
+def test_kpair_matmul_fused_kernel_interpret(fmt):
+    """The fused kernel (single packed read, dual-plane accumulate) matches
+    the XLA path."""
+    from unittest import mock
+
+    from llm_lns_quantization_tpu.ops import pack_fp4k, pack_lns4k
+
+    pack, mm = {
+        "lns4k": (pack_lns4k, qmm.lns4k_matmul),
+        "fp4k": (pack_fp4k, qmm.fp4k_matmul),
+    }[fmt]
+    M, K, N = 16, 512, 256
+    x = jnp.asarray(rand((M, K), seed=25, scale=0.5), jnp.bfloat16)
+    w = jnp.asarray(rand((K, N), seed=26, scale=0.4))
+    bias = jnp.asarray(rand((N,), seed=27))
+    q = pack(w)
+    xla = mm(x, q.packed, out_dtype=jnp.float32, bias=bias)
+    with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 0):
+        fused = _interpret(mm, x, q.packed, block_m=16, block_n=128,
+                           out_dtype=jnp.float32, bias=bias)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kpair_model_path():
+    """w:lns4;pallas now routes even-K matmul weights to the kpair layout."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import LNS4KWeight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    b = build_model(
+        family="llama", preset="tiny", dtype=jnp.float32,
+        quant=QuantConfig(weights="lns4", use_pallas=True),
+    )
+    leaves = jax.tree_util.tree_leaves(
+        b.params, is_leaf=lambda x: isinstance(x, LNS4KWeight)
+    )
+    assert any(isinstance(l, LNS4KWeight) for l in leaves)
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
+    out = b.forward(b.params, b.cfg, tokens)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_kpair_dispatch_policy():
+    """kpair production dispatch: unlike the byte formats (XLA-everywhere,
+    _FUSED_MIN_WEIGHT), the fused kpair kernel is the only true 0.5 B/elem
+    path, so decode-regime matmuls over serving-scale weights take it by
+    default; small weights and compute-bound (large M) shapes stay XLA."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_lns4k
+
+    w_small = pack_lns4k(jnp.asarray(rand((256, 256), seed=63)))
+    w_big = pack_lns4k(jnp.asarray(rand((4096, 4096), seed=64, scale=0.02)))
+
+    def has_pallas(fn, *args):
+        return "pallas_call" in str(jax.make_jaxpr(fn)(*args))
+
+    x_small = jnp.zeros((16, 256), jnp.bfloat16)
+    x_big = jnp.zeros((16, 4096), jnp.bfloat16)
+    x_score = jnp.zeros((2048, 4096), jnp.bfloat16)
+    mm = lambda x, p: qmm.lns4k_matmul(x, p)  # noqa: E731
+    assert not has_pallas(mm, x_small, w_small.packed)   # tiny weight: XLA
+    assert has_pallas(mm, x_big, w_big.packed)           # serving decode: fused
+    assert not has_pallas(mm, x_score, w_big.packed)     # compute-bound: XLA

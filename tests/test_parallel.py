@@ -660,3 +660,44 @@ def test_two_process_distributed_eval_matches_single(tmp_path):
     # to the single-process run
     assert results[0] == results[1]
     assert results[0] == oracle
+
+
+@requires_multidevice
+@pytest.mark.parametrize("fmt", ["lns4k", "fp4k"])
+def test_tp_kpair_sharded_matches_dense(fmt):
+    """kpair layout: packed [K/2, N] shards like a plain weight — column
+    parallel keeps the output sharded (no weight gather), row parallel shards
+    packed rows congruently with x's K (adjacent pairing stays shard-local)
+    and psums partials. Both must match the unsharded kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_fp4k, pack_lns4k
+
+    pack, dense_mm, tp_mm = {
+        "lns4k": (pack_lns4k, qmm.lns4k_matmul, tp.lns4k_matmul),
+        "fp4k": (pack_fp4k, qmm.fp4k_matmul, tp.fp4k_matmul),
+    }[fmt]
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(2)
+    M, K, N = 16, 64, 512  # K/2 = 32 divisible by model axis 4; pairs local
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    q = pack(w)
+    ref = np.asarray(dense_mm(x, q.packed, out_dtype=jnp.float32))
+
+    fn = lambda a, p: tp_mm(a, p, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for spec in [P(None, "model"), P("model", None)]:
+        ps = jax.device_put(q.packed, NamedSharding(mesh, spec))
+        out = jax.jit(fn)(xs, ps)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+    # neither layout may gather the packed (u8) operand
+    for spec in [P(None, "model"), P("model", None)]:
+        txt = jax.jit(fn).lower(
+            xs, jax.device_put(q.packed, NamedSharding(mesh, spec))
+        ).compile().as_text()
+        gathers = [l for l in txt.splitlines() if "all-gather" in l]
+        assert not any("u8[" in l for l in gathers), spec
