@@ -42,6 +42,7 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         FP4KWeight,
         FP4Weight,
         FP8Weight,
+        Int4GroupKWeight,
         Int4GroupWeight,
         Int8Weight,
         LNS4KWeight,
@@ -53,7 +54,7 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
 
     if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, LNS4KWeight,
                       MXWeight, FP8Weight, FP4Weight, FP4KWeight, NF4Weight,
-                      Int4GroupWeight)):
+                      Int4GroupWeight, Int4GroupKWeight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -89,6 +90,11 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
             y2 = qmm.nf4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, w.bscale,
                 block_size=w.block_size, out_dtype=x.dtype, bias=b,
+            )
+        elif isinstance(w, Int4GroupKWeight):
+            y2 = qmm.int4gk_matmul(
+                x2.astype(jnp.bfloat16), w.packed, w.scale, w.zero,
+                group_size=w.group_size, out_dtype=x.dtype, bias=b,
             )
         elif isinstance(w, Int4GroupWeight):
             y2 = qmm.int4g_matmul(

@@ -727,6 +727,103 @@ def fp4k_matmul(x, packed, block_m=None, block_n=None,
                          out_dtype, bias)
 
 
+def _int4gk_plane(nib, s_tile, z_tile, rows_per_group):
+    """Affine decode of one kpair nibble plane [K/2, bn]: both rows of a
+    packed byte share a group, so one band row covers group_size/2 packed
+    rows (same sublane-split reshape as _mx_decode — lane dim untouched).
+    The decode is the cheapest of the nibble formats: upcast, mul, add."""
+    v = nib.astype(jnp.float32)
+    K2, bn = v.shape
+    v = v.reshape(K2 // rows_per_group, rows_per_group, bn)
+    v = v * s_tile[:, None, :] + z_tile[:, None, :]
+    return v.reshape(K2, bn).astype(jnp.bfloat16)
+
+
+def _int4gk_matmul_kernel(xe_ref, xo_ref, w_ref, s_ref, z_ref, b_ref, o_ref,
+                          lo_ref, hi_ref, *, rows_per_group, out_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        u = w_ref[...].astype(jnp.int32)  # packed bytes, read ONCE
+        s, z = s_ref[...], z_ref[...]
+        lo_ref[...] = _int4gk_plane(u & 0xF, s, z, rows_per_group)
+        hi_ref[...] = _int4gk_plane((u >> 4) & 0xF, s, z, rows_per_group)
+
+    o_ref[...] = (
+        jnp.dot(xe_ref[...], lo_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(xo_ref[...], hi_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group_size", "block_m", "block_n", "out_dtype"))
+def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
+                  block_n=None, out_dtype=jnp.bfloat16, bias=None):
+    """[M, K] @ kpair-packed group-affine INT4 [K, N] -> [M, N].
+
+    ``packed`` [K/2, N] pairs adjacent K rows; ``scale``/``zero`` [K/group, N]
+    (ops.packing.Int4GroupKWeight — the GPTQ grid at true 0.5625 B/elem)."""
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == K2 * 2
+    rpg = group_size // 2
+    block_m, block_n = _blocks(block_m, block_n)
+    b2d = _bias2d(bias, N)
+    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+            or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
+        xe, xo = _kpair_split(x)
+        u = packed.astype(jnp.int32)
+        y = (
+            jnp.dot(xe, _int4gk_plane(u & 0xF, scale, zero, rpg),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xo, _int4gk_plane((u >> 4) & 0xF, scale, zero, rpg),
+                      preferred_element_type=jnp.float32)
+        )
+        return (y + b2d).astype(out_dtype)
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    G = K // group_size
+
+    def _vmem(bm, bn):
+        return (2 * (2 * bm * K2 * 2) + 2 * (K2 * bn) + 2 * (2 * G * bn * 4)
+                + 2 * K2 * bn * 2 + 2 * (bm * bn * 2))
+
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
+    xe, xo = _kpair_split(x.astype(jnp.bfloat16))
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    kernel = functools.partial(
+        _int4gk_matmul_kernel, rows_per_group=rpg, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((K2, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((G, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((G, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K2, block_n), jnp.bfloat16),
+                        pltpu.VMEM((K2, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K2 * N + 2 * G * N * 4 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(xe, xo, packed, scale, zero, b2d)
+
+
 # ---------------------------------------------------------------------------
 # True W8A8: int8 activations x int8 weights on the MXU
 # ---------------------------------------------------------------------------

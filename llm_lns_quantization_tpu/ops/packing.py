@@ -621,11 +621,11 @@ class Int4GroupWeight:
         return cls(children[0], children[1], children[2], aux)
 
 
-def pack_int4g(w: jax.Array, group_size: int = 128) -> Int4GroupWeight:
-    """Quantize [K, N] onto the int4_group grid (K-axis groups, min/max
-    affine) and pack codes two per byte (halves layout along N)."""
+def _int4g_nibscale(w: jax.Array, group_size: int):
+    """Shared int4_group quantization: [K, N] float -> (nibbles [K, N] u8,
+    scale [K/group, N] f32, lo [K/group, N] f32). One grid, two byte layouts
+    (halves-N below, kpair further down)."""
     K, N = w.shape
-    assert K % group_size == 0 and N % 2 == 0, (w.shape, group_size)
     w = w.astype(jnp.float32)
     xg = w.reshape(K // group_size, group_size, N)
     lo = jnp.min(xg, axis=1, keepdims=True)
@@ -633,10 +633,20 @@ def pack_int4g(w: jax.Array, group_size: int = 128) -> Int4GroupWeight:
     scale = (hi - lo) / 15.0
     scale = jnp.where(scale == 0, 1.0, scale)
     nib = jnp.clip(jnp.round((xg - lo) / scale), 0.0, 15.0)
-    nib = nib.reshape(K, N).astype(jnp.uint8)
-    halves = lambda a: a[:, 0, :].reshape(  # noqa: E731
+    return (nib.reshape(K, N).astype(jnp.uint8),
+            scale[:, 0, :].astype(jnp.float32),
+            lo[:, 0, :].astype(jnp.float32))
+
+
+def pack_int4g(w: jax.Array, group_size: int = 128) -> Int4GroupWeight:
+    """Quantize [K, N] onto the int4_group grid (K-axis groups, min/max
+    affine) and pack codes two per byte (halves layout along N)."""
+    K, N = w.shape
+    assert K % group_size == 0 and N % 2 == 0, (w.shape, group_size)
+    nib, scale, lo = _int4g_nibscale(w, group_size)
+    halves = lambda a: a.reshape(  # noqa: E731
         K // group_size, 2, N // 2
-    ).astype(jnp.float32)
+    )
     return Int4GroupWeight(
         (nib[:, : N // 2] | (nib[:, N // 2 :] << 4)).astype(jnp.uint8),
         halves(scale), halves(lo), group_size,
@@ -766,3 +776,57 @@ def unpack_fp4k(q: FP4KWeight, dtype=jnp.bfloat16) -> jax.Array:
     e = ((nib >> 1) & 0x3) - 2
     mag = jnp.ldexp(1.0 + (nib & 1).astype(jnp.float32) * 0.5, e)
     return jnp.where((nib & 0x8) != 0, -mag, mag).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class Int4GroupKWeight:
+    """Group-affine INT4 (GPTQ grid), kpair layout: packed uint8 [K/2, N]
+    (adjacent K rows per byte) + per-(K-group, column) affine bands stored
+    UN-halved: ``scale``/``zero`` [K/group, N]. Same grid as Int4GroupWeight;
+    both rows of a packed byte share a group (group_size is even), so the
+    affine decode of either nibble plane broadcasts one band row over
+    group_size/2 packed rows. HBM traffic: 0.5 B/elem codes + 8/group B/elem
+    bands (0.5625 B at group 128)."""
+
+    def __init__(self, packed, scale, zero, group_size: int):
+        self.packed = packed    # uint8 [K//2, N]
+        self.scale = scale      # f32 [K/group, N]
+        self.zero = zero        # f32 [K/group, N]
+        self.group_size = group_size
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("packed"), self.packed),
+            (jax.tree_util.GetAttrKey("scale"), self.scale),
+            (jax.tree_util.GetAttrKey("zero"), self.zero),
+        ), self.group_size
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+def pack_int4gk(w: jax.Array, group_size: int = 128) -> Int4GroupKWeight:
+    """Quantize onto the int4_group grid (identical to pack_int4g's) and pack
+    adjacent K rows two per byte."""
+    K, N = w.shape
+    assert K % group_size == 0, (w.shape, group_size)
+    nib, scale, lo = _int4g_nibscale(w, group_size)
+    return Int4GroupKWeight(_kpair_pack(nib), scale, lo, group_size)
+
+
+def unpack_int4gk(q: Int4GroupKWeight, dtype=jnp.bfloat16) -> jax.Array:
+    nib = _kpair_unpack_nibbles(q.packed).astype(jnp.float32)
+    K, N = nib.shape
+    g = q.scale.shape[0]
+    val = (nib.reshape(g, q.group_size, N) * q.scale[:, None, :]
+           + q.zero[:, None, :])
+    return val.reshape(K, N).astype(dtype)

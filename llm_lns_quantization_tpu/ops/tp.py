@@ -410,6 +410,59 @@ def _kpair_matmul_cp(fmt: str, out_dtype_name: str):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _int4gk_matmul_cp(group_size: int, out_dtype_name: str):
+    """kpair group-affine INT4: bands [K/group, N] shard exactly like the
+    codes (same pattern as the MX block scales)."""
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, packed, scale, zero):
+        return qmm.int4gk_matmul(x, packed, scale, zero,
+                                 group_size=group_size, out_dtype=dtype)
+
+    cp = custom_partitioning(local)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, _, nax = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, nax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+        # row parallel is only congruent when whole groups land per shard
+        # (bands [G, N] must shard with the codes); otherwise gather and run
+        # the kernel replicated — only degenerate tiny configs hit this
+        if kax is not None and arg_shapes[2].shape[0] % mesh.shape[kax] != 0:
+            kax = None
+
+        def lower(x, packed, scale, zero):
+            y = local(x, packed, scale, zero)
+            if kax is not None:
+                y = jax.lax.psum(y, kax)
+            return y
+
+        arg_specs = (P(xrow, kax), P(kax, nax), P(kax, nax), P(kax, nax))
+        return (mesh, lower, NamedSharding(mesh, P(xrow, nax)),
+                tuple(NamedSharding(mesh, s) for s in arg_specs))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, h k, l k, l k -> i k",
+    )
+    return cp
+
+
+def int4gk_matmul(x, packed, scale, zero, group_size=128,
+                  out_dtype=jnp.bfloat16, bias=None):
+    """Partitioning-aware ``ops.matmul.int4gk_matmul`` (kpair GPTQ grid)."""
+    if _single_device():
+        return qmm.int4gk_matmul(x, packed, scale, zero,
+                                 group_size=group_size, out_dtype=out_dtype,
+                                 bias=bias)
+    y = _int4gk_matmul_cp(group_size, jnp.dtype(out_dtype).name)(
+        x, packed, scale, zero)
+    return _add_bias(y, bias)
+
+
 def lns4k_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns4k_matmul`` (0.5 B/elem tier)."""
     if _single_device():

@@ -154,9 +154,10 @@ def param_partition_specs(params, family: str, model_axis_size: int = 1):
                 break
         for pat, spec in rules:
             if pat.search(name):
-                if packed_kind in ("scale", "zero") and leaf.ndim == 3:
+                if packed_kind in ("scale", "zero") and leaf.ndim >= 2:
                     # Int4GroupWeight halves-aligned side bands share the
-                    # NF4 bscale layout [K/group, 2, N/2]
+                    # NF4 bscale layout [K/group, 2, N/2]; Int4GroupKWeight
+                    # kpair bands [K/group, N] share the MX bscale layout
                     packed_kind = "bscale"
                 if packed_kind == "bscale":
                     wdims = tuple(spec) + (None,) * (2 - len(tuple(spec)))

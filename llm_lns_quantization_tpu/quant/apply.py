@@ -137,14 +137,15 @@ def quantize_weights(params, config: QuantConfig):
                 else fn(w)
             )
         elif config.weights == "int4g":
-            from ..ops.packing import pack_int4g
+            from ..ops.packing import pack_int4gk
 
-            # group-affine nibbles + (scale, zero)/group (the GPTQ grid);
-            # layers that don't divide the group fall back to fake-quant
+            # group-affine nibbles + (scale, zero)/group (the GPTQ grid):
+            # kpair layout (true 0.5625 B/elem; K % group == 0 already
+            # implies the even K kpair needs), fake-quant for layers that
+            # don't divide the group. The halves-N packer stays available
+            # for direct use only.
             pack = lambda w: (  # noqa: E731
-                pack_int4g(w)
-                if w.shape[0] % 128 == 0 and w.shape[1] % 2 == 0
-                else fn(w)
+                pack_int4gk(w) if w.shape[0] % 128 == 0 else fn(w)
             )
         elif config.weights in ("nf4", "nf4_dq"):
             from ..ops.packing import pack_nf4

@@ -936,10 +936,11 @@ def test_int4g_matmul_matches_dequant_dot():
 
 
 def test_int4g_pallas_model_path():
-    """w:int4g;pallas packs matmul weights as Int4GroupWeight (hidden sizes
-    that don't divide the 128-group fall back to fake-quant); finite fwd."""
+    """w:int4g;pallas packs matmul weights as Int4GroupKWeight (kpair since
+    round 2; hidden sizes that don't divide the 128-group fall back to
+    fake-quant); finite fwd."""
     from llm_lns_quantization_tpu.models import build_model
-    from llm_lns_quantization_tpu.ops.packing import Int4GroupWeight
+    from llm_lns_quantization_tpu.ops.packing import Int4GroupKWeight
     from llm_lns_quantization_tpu.quant import QuantConfig
 
     tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
@@ -949,8 +950,8 @@ def test_int4g_pallas_model_path():
                        config_overrides=dict(hidden_size=128,
                                              intermediate_size=256))
     leaves = jax.tree_util.tree_leaves(
-        real.params, is_leaf=lambda x: isinstance(x, Int4GroupWeight))
-    assert any(isinstance(l, Int4GroupWeight) for l in leaves)
+        real.params, is_leaf=lambda x: isinstance(x, Int4GroupKWeight))
+    assert any(isinstance(l, Int4GroupKWeight) for l in leaves)
     out = real.forward(real.params, real.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -1074,3 +1075,68 @@ def test_kpair_dispatch_policy():
     assert not has_pallas(mm, x_small, w_small.packed)   # tiny weight: XLA
     assert has_pallas(mm, x_big, w_big.packed)           # serving decode: fused
     assert not has_pallas(mm, x_score, w_big.packed)     # compute-bound: XLA
+
+
+def test_int4gk_pack_same_grid_as_halves():
+    """pack_int4gk quantizes onto the identical GPTQ-style grid as
+    pack_int4g — unpacks must agree element-wise; only the layout differs."""
+    from llm_lns_quantization_tpu.ops import (
+        pack_int4g, pack_int4gk, unpack_int4g, unpack_int4gk,
+    )
+
+    w = jnp.asarray(rand((256, 96), seed=31, scale=0.7))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4gk(pack_int4gk(w), jnp.float32)),
+        np.asarray(unpack_int4g(pack_int4g(w), jnp.float32)),
+    )
+    q = pack_int4gk(w)
+    assert q.packed.shape == (128, 96)
+    assert q.scale.shape == (2, 96) and q.zero.shape == (2, 96)
+
+
+def test_int4gk_matmul_xla_and_fused():
+    """XLA fallback and fused kernel both match the dense dot on unpacked
+    weights (fused: single packed read + band-broadcast affine decode)."""
+    from unittest import mock
+
+    from llm_lns_quantization_tpu.ops import pack_int4gk, unpack_int4gk
+
+    M, K, N = 16, 512, 256
+    x = jnp.asarray(rand((M, K), seed=32, scale=0.5), jnp.bfloat16)
+    w = jnp.asarray(rand((K, N), seed=33, scale=0.4))
+    bias = jnp.asarray(rand((N,), seed=34))
+    q = pack_int4gk(w)
+    want = jnp.dot(
+        x.astype(jnp.float32), unpack_int4gk(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    xla = qmm.int4gk_matmul(x, q.packed, q.scale, q.zero,
+                            out_dtype=jnp.float32, bias=bias)
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 0):
+        fused = _interpret(qmm.int4gk_matmul, x, q.packed, q.scale, q.zero,
+                           block_m=16, block_n=128, out_dtype=jnp.float32,
+                           bias=bias)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int4gk_model_path():
+    """w:int4g;pallas routes group-divisible weights to the kpair layout."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import Int4GroupKWeight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    b = build_model(
+        family="llama", preset="tiny", dtype=jnp.float32,
+        config_overrides=dict(hidden_size=128, intermediate_size=256),
+        quant=QuantConfig(weights="int4g", use_pallas=True),
+    )
+    leaves = jax.tree_util.tree_leaves(
+        b.params, is_leaf=lambda x: isinstance(x, Int4GroupKWeight)
+    )
+    assert any(isinstance(l, Int4GroupKWeight) for l in leaves)
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
+    out = b.forward(b.params, b.cfg, tokens)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -701,3 +701,70 @@ def test_tp_kpair_sharded_matches_dense(fmt):
         ).compile().as_text()
         gathers = [l for l in txt.splitlines() if "all-gather" in l]
         assert not any("u8[" in l for l in gathers), spec
+
+
+@requires_multidevice
+def test_tp_int4gk_sharded_matches_dense():
+    """kpair int4g: affine bands [K/group, N] shard congruently with the
+    packed codes in both column- and row-parallel layouts (no u8 gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_int4gk
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(3)
+    M, K, N = 16, 512, 512  # K/group = 4 divisible by model axis 4
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    q = pack_int4gk(w)
+    ref = np.asarray(qmm.int4gk_matmul(x, q.packed, q.scale, q.zero,
+                                       out_dtype=jnp.float32))
+
+    fn = lambda a, p, s, z: tp.int4gk_matmul(a, p, s, z,
+                                             out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec, bspec in [
+        (P(None, "model"), P(None, "model")),  # column parallel
+        (P("model", None), P("model", None)),  # row parallel
+    ]:
+        p = jax.device_put(q.packed, NamedSharding(mesh, wspec))
+        s = jax.device_put(q.scale, NamedSharding(mesh, bspec))
+        z = jax.device_put(q.zero, NamedSharding(mesh, bspec))
+        out = jax.jit(fn)(xs, p, s, z)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+        txt = jax.jit(fn).lower(xs, p, s, z).compile().as_text()
+        gathers = [l for l in txt.splitlines() if "all-gather" in l]
+        assert not any("u8[" in l for l in gathers), wspec
+
+
+@requires_multidevice
+def test_sharded_int4gk_model_forward():
+    """w:int4g;pallas (kpair) params shard via the family rules — bands
+    [K/group, N] follow the weight layout — and the sharded forward matches
+    single-device."""
+    from llm_lns_quantization_tpu.ops.packing import Int4GroupKWeight
+
+    mesh = make_mesh(shape=(2, 4))
+    bundle = build_model(
+        family="llama", preset="tiny",
+        config_overrides=dict(hidden_size=128, intermediate_size=256),
+        quant=QuantConfig.parse("w:int4g;pallas"),
+    )
+    q0 = bundle.params["layers"][0]["q_proj"]
+    assert isinstance(q0, Int4GroupKWeight)
+    specs = param_partition_specs(bundle.params, "llama", mesh.shape["model"])
+    assert tuple(specs["layers"][0]["q_proj"].scale) == (None, "model")
+    assert tuple(specs["layers"][0]["o_proj"].scale)[1] is None
+
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 250, (4, 16)).astype(np.int32)
+    )
+    single = bundle.forward(bundle.params, bundle.cfg, tokens)
+    sharded_params = shard_params(bundle.params, bundle, mesh)
+    fwd = jax.jit(lambda p, t: bundle.forward(p, bundle.cfg, t))
+    sharded = fwd(sharded_params, jax.device_put(tokens, data_sharding(mesh)))
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
+    )
