@@ -49,12 +49,13 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         LNS4Weight,
         LNSWeight,
         MXWeight,
+        NF4KWeight,
         NF4Weight,
     )
 
     if isinstance(w, (LNSWeight, Int8Weight, LNS4Weight, LNS4KWeight,
                       MXWeight, FP8Weight, FP4Weight, FP4KWeight, NF4Weight,
-                      Int4GroupWeight, Int4GroupKWeight)):
+                      NF4KWeight, Int4GroupWeight, Int4GroupKWeight)):
         # tp wrappers = the same kernels under custom_partitioning, so a
         # model-axis-sharded packed weight runs the kernel on local shards
         # (megatron column/row parallel) instead of being all-gathered
@@ -85,6 +86,11 @@ def dense(x, w, b, actq: ActQuantizer, site: str):
         elif isinstance(w, FP4Weight):
             y2 = qmm.fp4_matmul(
                 x2.astype(jnp.bfloat16), w.packed, out_dtype=x.dtype, bias=b
+            )
+        elif isinstance(w, NF4KWeight):
+            y2 = qmm.nf4k_matmul(
+                x2.astype(jnp.bfloat16), w.packed, w.bscale,
+                block_size=w.block_size, out_dtype=x.dtype, bias=b,
             )
         elif isinstance(w, NF4Weight):
             y2 = qmm.nf4_matmul(

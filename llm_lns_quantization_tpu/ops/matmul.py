@@ -824,6 +824,100 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
     )(xe, xo, packed, scale, zero, b2d)
 
 
+def _nf4k_plane(nib, s_tile, rows_per_block):
+    """NF4 decode of one kpair nibble plane [K/2, bn]: packed-word LUT value
+    (_nf4_nib_decode) times the block absmax broadcast over block_size/2
+    packed rows."""
+    v = _nf4_nib_decode(nib)
+    K2, bn = v.shape
+    v = v.reshape(K2 // rows_per_block, rows_per_block, bn) * s_tile[:, None, :]
+    return v.reshape(K2, bn).astype(jnp.bfloat16)
+
+
+def _nf4k_matmul_kernel(xe_ref, xo_ref, w_ref, s_ref, b_ref, o_ref,
+                        lo_ref, hi_ref, *, rows_per_block, out_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        u = w_ref[...].astype(jnp.int32)
+        s = s_ref[...]
+        lo_ref[...] = _nf4k_plane(u & 0xF, s, rows_per_block)
+        hi_ref[...] = _nf4k_plane((u >> 4) & 0xF, s, rows_per_block)
+
+    o_ref[...] = (
+        jnp.dot(xe_ref[...], lo_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(xo_ref[...], hi_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block_size", "block_m", "block_n", "out_dtype"))
+def nf4k_matmul(x, packed, bscale, block_size=64, block_m=None,
+                block_n=None, out_dtype=jnp.bfloat16, bias=None):
+    """[M, K] @ kpair-packed NF4 [K, N] -> [M, N].
+
+    ``packed`` [K/2, N] pairs adjacent K rows; ``bscale`` [K/block, N]
+    (ops.packing.NF4KWeight — QLoRA storage at true 0.5625 B/elem)."""
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == K2 * 2
+    rpb = block_size // 2
+    block_m, block_n = _blocks(block_m, block_n)
+    b2d = _bias2d(bias, N)
+    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+            or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
+        xe, xo = _kpair_split(x)
+        u = packed.astype(jnp.int32)
+        y = (
+            jnp.dot(xe, _nf4k_plane(u & 0xF, bscale, rpb),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xo, _nf4k_plane((u >> 4) & 0xF, bscale, rpb),
+                      preferred_element_type=jnp.float32)
+        )
+        return (y + b2d).astype(out_dtype)
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    B = K // block_size
+
+    def _vmem(bm, bn):
+        return (2 * (2 * bm * K2 * 2) + 2 * (K2 * bn) + 2 * (B * bn * 4)
+                + 2 * K2 * bn * 2 + 2 * (bm * bn * 2))
+
+    block_m, block_n = _shrink_blocks(block_m, block_n, _vmem)
+    xe, xo = _kpair_split(x.astype(jnp.bfloat16))
+
+    grid = (_cdiv(N, block_n), _cdiv(M, block_m))
+    kernel = functools.partial(
+        _nf4k_matmul_kernel, rows_per_block=rpb, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_m, K2), lambda j, i: (i, 0)),
+            pl.BlockSpec((K2, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((B, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((K2, block_n), jnp.bfloat16),
+                        pltpu.VMEM((K2, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K2 * N + B * N * 4 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(xe, xo, packed, bscale, b2d)
+
+
 # ---------------------------------------------------------------------------
 # True W8A8: int8 activations x int8 weights on the MXU
 # ---------------------------------------------------------------------------

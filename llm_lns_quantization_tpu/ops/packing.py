@@ -830,3 +830,69 @@ def unpack_int4gk(q: Int4GroupKWeight, dtype=jnp.bfloat16) -> jax.Array:
     val = (nib.reshape(g, q.group_size, N) * q.scale[:, None, :]
            + q.zero[:, None, :])
     return val.reshape(K, N).astype(dtype)
+
+
+@jax.tree_util.register_pytree_with_keys_class
+class NF4KWeight:
+    """NF4 (QLoRA NormalFloat-4) weights, kpair layout: packed uint8 [K/2, N]
+    (adjacent K rows per byte) + per-(K-block, column) absmax stored
+    UN-halved: ``bscale`` [K/block, N]. Same codebook grid as NF4Weight; both
+    rows of a packed byte share a block (block_size is even). 0.5625 B/elem
+    at block 64."""
+
+    def __init__(self, packed, bscale, block_size: int):
+        self.packed = packed    # uint8 [K//2, N]
+        self.bscale = bscale    # f32 [K/block, N]
+        self.block_size = block_size
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("packed"), self.packed),
+            (jax.tree_util.GetAttrKey("bscale"), self.bscale),
+        ), self.block_size
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def pack_nf4k(w: jax.Array, block_size: int = 64,
+              double_quant: bool = False) -> NF4KWeight:
+    """Quantize onto the nf4_quant grid (identical to pack_nf4's, incl. the
+    double-quant scale path) and pack adjacent K rows two per byte."""
+    from ..quant.formats import _int8_block_quant_flat, _nf4_snap_codes
+
+    K, N = w.shape
+    assert K % block_size == 0, (w.shape, block_size)
+    w = w.astype(jnp.float32)
+    xb = w.reshape(K // block_size, block_size, N)
+    absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+    absmax = jnp.where(absmax == 0, 1.0, absmax)
+    nib = _nf4_snap_codes(xb / absmax).reshape(K, N).astype(jnp.uint8)
+    if double_quant:  # codes use the true absmax; only the stored scale moves
+        flat = absmax.reshape(-1)
+        offset = jnp.mean(flat)
+        flat = _int8_block_quant_flat(flat - offset, 256) + offset
+        absmax = flat.reshape(absmax.shape)
+    return NF4KWeight(
+        _kpair_pack(nib), absmax[:, 0, :].astype(jnp.float32), block_size
+    )
+
+
+def unpack_nf4k(q: NF4KWeight, dtype=jnp.bfloat16) -> jax.Array:
+    from ..quant.formats import NF4_CODE
+
+    nib = _kpair_unpack_nibbles(q.packed)
+    val = jnp.asarray(NF4_CODE, jnp.float32)[nib]
+    K, N = val.shape
+    val = (val.reshape(K // q.block_size, q.block_size, N)
+           * q.bscale[:, None, :])
+    return val.reshape(K, N).astype(dtype)

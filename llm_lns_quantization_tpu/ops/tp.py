@@ -463,6 +463,55 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128,
     return _add_bias(y, bias)
 
 
+@functools.lru_cache(maxsize=None)
+def _nf4k_matmul_cp(block_size: int, out_dtype_name: str):
+    """kpair NF4: the absmax band [K/block, N] shards exactly like the codes
+    (same pattern as _int4gk_matmul_cp)."""
+    dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, packed, bscale):
+        return qmm.nf4k_matmul(x, packed, bscale, block_size=block_size,
+                               out_dtype=dtype)
+
+    cp = custom_partitioning(local)
+
+    def infer(mesh, arg_shapes, result_shape):
+        xrow, _, nax = _resolve(arg_shapes)
+        return NamedSharding(mesh, P(xrow, nax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xrow, kax, nax = _resolve(arg_shapes)
+        if kax is not None and arg_shapes[2].shape[0] % mesh.shape[kax] != 0:
+            kax = None  # blocks would split across shards: run replicated
+
+        def lower(x, packed, bscale):
+            y = local(x, packed, bscale)
+            if kax is not None:
+                y = jax.lax.psum(y, kax)
+            return y
+
+        arg_specs = (P(xrow, kax), P(kax, nax), P(kax, nax))
+        return (mesh, lower, NamedSharding(mesh, P(xrow, nax)),
+                tuple(NamedSharding(mesh, s) for s in arg_specs))
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule="i j, h k, l k -> i k",
+    )
+    return cp
+
+
+def nf4k_matmul(x, packed, bscale, block_size=64, out_dtype=jnp.bfloat16,
+                bias=None):
+    """Partitioning-aware ``ops.matmul.nf4k_matmul`` (kpair QLoRA NF4)."""
+    if _single_device():
+        return qmm.nf4k_matmul(x, packed, bscale, block_size=block_size,
+                               out_dtype=out_dtype, bias=bias)
+    y = _nf4k_matmul_cp(block_size, jnp.dtype(out_dtype).name)(
+        x, packed, bscale)
+    return _add_bias(y, bias)
+
+
 def lns4k_matmul(x, packed, out_dtype=jnp.bfloat16, bias=None):
     """Partitioning-aware ``ops.matmul.lns4k_matmul`` (0.5 B/elem tier)."""
     if _single_device():

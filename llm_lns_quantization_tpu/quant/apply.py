@@ -148,14 +148,16 @@ def quantize_weights(params, config: QuantConfig):
                 pack_int4gk(w) if w.shape[0] % 128 == 0 else fn(w)
             )
         elif config.weights in ("nf4", "nf4_dq"):
-            from ..ops.packing import pack_nf4
+            from ..ops.packing import pack_nf4k
 
-            # nibble codes + per-K-block absmax; layers that don't divide
-            # the 64-block (or have odd N) fall back to fake-quant
+            # nibble codes + per-K-block absmax: kpair layout (true 0.5625
+            # B/elem; K % 64 == 0 implies the even K kpair needs); layers
+            # that don't divide the 64-block fall back to fake-quant. The
+            # halves-N packer stays available for direct use only.
             _dq = config.weights == "nf4_dq"
             pack = lambda w: (  # noqa: E731
-                pack_nf4(w, double_quant=_dq)
-                if w.shape[0] % 64 == 0 and w.shape[1] % 2 == 0
+                pack_nf4k(w, double_quant=_dq)
+                if w.shape[0] % 64 == 0
                 else fn(w)
             )
         elif config.weights in _FP8_PACK:

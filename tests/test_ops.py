@@ -826,10 +826,11 @@ def test_nf4_matmul_matches_dequant_dot():
 
 
 def test_nf4_pallas_model_path():
-    """w:nf4;pallas packs matmul weights as NF4Weight; layers whose K does
-    not divide the 64-block fall back to fake-quant; forward is finite."""
+    """w:nf4;pallas packs matmul weights as NF4KWeight (kpair since round 2);
+    layers whose K does not divide the 64-block fall back to fake-quant;
+    forward is finite."""
     from llm_lns_quantization_tpu.models import build_model
-    from llm_lns_quantization_tpu.ops.packing import NF4Weight
+    from llm_lns_quantization_tpu.ops.packing import NF4KWeight
     from llm_lns_quantization_tpu.quant import QuantConfig
 
     tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8) + 1)
@@ -837,8 +838,8 @@ def test_nf4_pallas_model_path():
                        quant=QuantConfig.parse("w:nf4;pallas"),
                        dtype=jnp.float32)
     leaves = jax.tree_util.tree_leaves(
-        real.params, is_leaf=lambda x: isinstance(x, NF4Weight))
-    assert any(isinstance(l, NF4Weight) for l in leaves)
+        real.params, is_leaf=lambda x: isinstance(x, NF4KWeight))
+    assert any(isinstance(l, NF4KWeight) for l in leaves)
     out = real.forward(real.params, real.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -1137,6 +1138,70 @@ def test_int4gk_model_path():
         b.params, is_leaf=lambda x: isinstance(x, Int4GroupKWeight)
     )
     assert any(isinstance(l, Int4GroupKWeight) for l in leaves)
+    tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
+    out = b.forward(b.params, b.cfg, tokens)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_nf4k_pack_same_grid_as_halves():
+    """pack_nf4k (incl. double-quant scales) lands on the identical grid as
+    pack_nf4 — unpacks must agree element-wise."""
+    from llm_lns_quantization_tpu.ops import (
+        pack_nf4, pack_nf4k, unpack_nf4, unpack_nf4k,
+    )
+
+    w = jnp.asarray(rand((128, 96), seed=41, scale=0.6))
+    for dq in (False, True):
+        np.testing.assert_array_equal(
+            np.asarray(unpack_nf4k(pack_nf4k(w, double_quant=dq), jnp.float32)),
+            np.asarray(unpack_nf4(pack_nf4(w, double_quant=dq), jnp.float32)),
+        )
+    q = pack_nf4k(w)
+    assert q.packed.shape == (64, 96) and q.bscale.shape == (2, 96)
+
+
+def test_nf4k_matmul_xla_and_fused():
+    from unittest import mock
+
+    from llm_lns_quantization_tpu.ops import pack_nf4k, unpack_nf4k
+
+    M, K, N = 16, 512, 256
+    x = jnp.asarray(rand((M, K), seed=42, scale=0.5), jnp.bfloat16)
+    w = jnp.asarray(rand((K, N), seed=43, scale=0.4))
+    bias = jnp.asarray(rand((N,), seed=44))
+    q = pack_nf4k(w)
+    want = jnp.dot(
+        x.astype(jnp.float32), unpack_nf4k(q, dtype=jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    xla = qmm.nf4k_matmul(x, q.packed, q.bscale, out_dtype=jnp.float32,
+                          bias=bias)
+    # oracle decodes in f32; the matmul path decodes to bf16 (code x absmax
+    # rounded) — a ~1%/element model difference, not a layout error
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(want),
+                               rtol=4e-2, atol=5e-2)
+    with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 0):
+        fused = _interpret(qmm.nf4k_matmul, x, q.packed, q.bscale,
+                           block_m=16, block_n=128, out_dtype=jnp.float32,
+                           bias=bias)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_nf4k_model_path():
+    """w:nf4;pallas routes block-divisible weights to the kpair layout."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import NF4KWeight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    b = build_model(
+        family="llama", preset="tiny", dtype=jnp.float32,
+        quant=QuantConfig(weights="nf4", use_pallas=True),
+    )
+    leaves = jax.tree_util.tree_leaves(
+        b.params, is_leaf=lambda x: isinstance(x, NF4KWeight)
+    )
+    assert any(isinstance(l, NF4KWeight) for l in leaves)
     tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
     out = b.forward(b.params, b.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))

@@ -768,3 +768,34 @@ def test_sharded_int4gk_model_forward():
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
     )
+
+
+@requires_multidevice
+def test_tp_nf4k_sharded_matches_dense():
+    """kpair NF4: the un-halved absmax band [K/block, N] shards congruently
+    with the packed codes in both TP layouts (no u8 gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_lns_quantization_tpu.ops import tp
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_nf4k
+
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(5)
+    M, K, N = 16, 512, 512  # K/block = 8 divisible by model axis 4
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    q = pack_nf4k(w)
+    ref = np.asarray(qmm.nf4k_matmul(x, q.packed, q.bscale,
+                                     out_dtype=jnp.float32))
+
+    fn = lambda a, p, s: tp.nf4k_matmul(a, p, s, out_dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    for wspec in [P(None, "model"), P("model", None)]:
+        p = jax.device_put(q.packed, NamedSharding(mesh, wspec))
+        s = jax.device_put(q.bscale, NamedSharding(mesh, wspec))
+        out = jax.jit(fn)(xs, p, s)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+        txt = jax.jit(fn).lower(xs, p, s).compile().as_text()
+        gathers = [l for l in txt.splitlines() if "all-gather" in l]
+        assert not any("u8[" in l for l in gathers), wspec
