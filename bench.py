@@ -154,29 +154,128 @@ def main():
         _decode_fn(xq, ActQuantizer(wquant), DB, DP, XDS),
         xq.params, prompt, XDS, iters=4,
     )
-
-    print(
-        json.dumps(
-            {
-                "metric": "gpt2_124m_lns8_pallas_score_throughput",
-                "value": round(p_tps, 1),
-                "unit": "tokens/s/chip",
-                "vs_baseline": round(p_tps / base_tps, 4),
-                "baseline_bf16_tokens_per_s": round(base_tps, 1),
-                "fake_quant_w_a_tokens_per_s": round(q_tps, 1),
-                "fake_quant_vs_baseline": round(q_tps / base_tps, 4),
-                "decode_bf16_tokens_per_s": round(base_dec, 1),
-                "decode_pallas_lns8_tokens_per_s": round(p_dec, 1),
-                "decode_vs_baseline": round(p_dec / base_dec, 4),
-                "decode_xl1p5b_bf16_tokens_per_s": round(xbase_dec, 1),
-                "decode_xl1p5b_w8a8_tokens_per_s": round(xq_dec, 1),
-                "decode_xl1p5b_vs_baseline": round(xq_dec / xbase_dec, 4),
-                "batch": B,
-                "seq": T,
-                "device": str(jax.devices()[0]),
-            }
-        )
+    del xq
+    # kpair lns4 (true 0.5 B/elem tier, round 2) at the same 1.5B shape
+    k4quant = QuantConfig.parse("w:lns4;pallas")
+    xk4 = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16,
+                      quant=k4quant)
+    xk4_dec = _decode_throughput(
+        _decode_fn(xk4, ActQuantizer(k4quant), DB, DP, XDS),
+        xk4.params, prompt, XDS, iters=4,
     )
+    del xk4
+
+    rec = {
+        "metric": "gpt2_124m_lns8_pallas_score_throughput",
+        "value": round(p_tps, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(p_tps / base_tps, 4),
+        "baseline_bf16_tokens_per_s": round(base_tps, 1),
+        "fake_quant_w_a_tokens_per_s": round(q_tps, 1),
+        "fake_quant_vs_baseline": round(q_tps / base_tps, 4),
+        "decode_bf16_tokens_per_s": round(base_dec, 1),
+        "decode_pallas_lns8_tokens_per_s": round(p_dec, 1),
+        "decode_vs_baseline": round(p_dec / base_dec, 4),
+        "decode_xl1p5b_bf16_tokens_per_s": round(xbase_dec, 1),
+        "decode_xl1p5b_w8a8_tokens_per_s": round(xq_dec, 1),
+        "decode_xl1p5b_vs_baseline": round(xq_dec / xbase_dec, 4),
+        "decode_xl1p5b_lns4_kpair_tokens_per_s": round(xk4_dec, 1),
+        "decode_xl1p5b_lns4_kpair_vs_baseline": round(xk4_dec / xbase_dec, 4),
+        "batch": B,
+        "seq": T,
+        "device": str(jax.devices()[0]),
+    }
+    rec.update(_flagship_7b_fields())
+    rec.update(_real_checkpoint_fields())
+    print(json.dumps(rec))
+
+
+def _flagship_7b_fields(budget_s: float = 2400.0):
+    """BASELINE config #3 shape (Llama-2-7B) via scripts/bench_serving_7b.py
+    subprocesses (one per regime — the axon tunnel client leaks host RAM
+    across the ~13 GB weight transfers, so each regime gets a fresh process).
+    Driver-artifact capture of the flagship claims (VERDICT round-1 item #6);
+    wall-clock-guarded: on a cold compile cache a regime can take ~15 min, so
+    whatever exceeds the budget is skipped with a marker instead of hanging
+    the driver."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    if os.environ.get("BENCH_SKIP_7B"):
+        return {"skipped_7b": "BENCH_SKIP_7B set"}
+    out = {}
+    t0 = time.time()
+    runs = [
+        ("decode_7b", ["w:w8a8;pallas", "w:lns4;pallas"], []),
+        ("score_7b", ["w:w8a8;pallas"], ["--score"]),
+    ]
+    for tag, formats, extra in runs:
+        remaining = budget_s - (time.time() - t0)
+        if remaining < 300:
+            out[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
+            continue
+        cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
+        try:
+            res = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=remaining,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            out[f"skipped_{tag}"] = f"timeout after {int(remaining)}s"
+            continue
+        if res.returncode != 0:
+            out[f"skipped_{tag}"] = (res.stdout + res.stderr)[-300:]
+            continue
+        for line in res.stdout.splitlines():
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            fmt = r.get("format", "").replace("w:", "").replace(";pallas", "")
+            fmt = fmt.replace("lns4", "lns4_kpair")
+            key = next((k for k in r if k.endswith("tokens_per_s")), None)
+            if key is None:
+                continue
+            out[f"{tag}_{fmt}_tokens_per_s"] = r[key]
+            if "vs_bf16" in r:
+                out[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
+    return out
+
+
+def _real_checkpoint_fields():
+    """Real-checkpoint accuracy evidence (VERDICT round-1 item #1): if the
+    per-format ppl sweep (scripts/eval_formats.py on the locally trained
+    124M checkpoint — docs/checkpoints.md) has produced RESULTS.md.jsonl,
+    surface the headline numbers in the driver artifact. No TPU cost."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "RESULTS.md.jsonl")
+    if not os.path.exists(path):
+        return {}
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+                rows[r["label"]] = r
+            except (json.JSONDecodeError, KeyError):
+                continue
+    base = rows.get("bf16 baseline")
+    if not base:
+        return {}
+    out = {"real_ckpt_bf16_bits_per_byte": round(base["bits_per_byte"], 4)}
+    for label, key in [("w:lns8", "real_ckpt_lns8_delta_bpb"),
+                       ("w:w8a8", "real_ckpt_w8a8_delta_bpb"),
+                       ("w:int4g", "real_ckpt_int4g_delta_bpb"),
+                       ("a:lns8", "real_ckpt_act_lns8_delta_bpb")]:
+        if label in rows:
+            out[key] = round(
+                rows[label]["bits_per_byte"] - base["bits_per_byte"], 4
+            )
+    return out
 
 
 if __name__ == "__main__":
