@@ -307,3 +307,26 @@ def test_registry_engines_accept_standard_extras(name, args):
     )
     (res,) = lm.loglikelihood([("hello", " world")])
     assert np.isfinite(res[0])
+
+
+def test_eval_compile_count_budget():
+    """Compile-count regression guard (VERDICT round-1 weak #6): the power-
+    of-2 shape bucketing must bound the number of distinct compiled score
+    programs by the number of length buckets, independent of how many
+    distinct raw request lengths an eval has. 60 requests spanning lengths
+    4..~900 may compile at most log2(1024/32)+1 = 6 score programs."""
+    import numpy as np
+
+    from llm_lns_quantization_tpu.lm.tpu_lm import TPULM
+
+    lm = TPULM(family="gpt2", preset="tiny", batch_size=4, dtype="float32",
+               max_length=1024)
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(60):
+        n = int(rng.integers(2, 900))
+        ctx = "a" * n  # byte tokenizer: length == n
+        reqs.append((ctx, " b"))
+    lm.loglikelihood(reqs)
+    n_compiled = lm._score_jit._cache_size()
+    assert n_compiled <= 6, n_compiled
