@@ -1,0 +1,158 @@
+"""kpair nibble-tier kernel microbenchmark at 7B decode shapes.
+
+Round-2 threshold measurement for ops/matmul.py's kpair dispatch
+(`_KPAIR_FUSED_MIN_WEIGHT` — "pending on-chip measurement"): at the
+weight-HBM-bound decode regime (small M, Llama-2-7B projection shapes),
+time per matmul for
+
+  bf16      XLA dense bf16 dot (the baseline)
+  xla2dot   XLA kpair fallback: two dots, nibble decode fused into each
+            operand read (1 B/elem effective traffic)
+  fused     the shipped kpair Mosaic kernel: packed tile read once, both
+            planes decoded to VMEM scratch, two partial dots (0.5 B/elem)
+  stacked   experimental: decode both planes into ONE [K, bn] scratch
+            (lo rows stacked above hi rows) and do ONE dot against
+            column-permuted activations — half the dot issues of `fused`
+
+Usage: python scripts/bench_kpair.py [--m 8] [--iters 64]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def sync(x):
+    jax.device_get(jax.tree_util.tree_leaves(x)[0][0])
+
+
+def timeit(fn, x, *wargs, iters=64):
+    def looped(x, *wargs):
+        def body(_, carry):
+            out = fn(carry, *wargs)
+            return carry + out[:, :1].astype(carry.dtype) * 1e-30
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    jitted = jax.jit(looped)
+    sync(jitted(x, *wargs))
+    t0 = time.perf_counter()
+    sync(jitted(x, *wargs))
+    return (time.perf_counter() - t0) / iters
+
+
+def _stacked_kernel(xs_ref, w_ref, o_ref, wdec_ref, *, nib_decode, k2):
+    u = w_ref[...].astype(jnp.int32)
+    wdec_ref[0:k2, :] = nib_decode(u & 0xF)
+    wdec_ref[k2:, :] = nib_decode((u >> 4) & 0xF)
+    o_ref[...] = jnp.dot(
+        xs_ref[...], wdec_ref[...], preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def stacked_matmul(xs, packed, nib_decode, block_n=256):
+    """[M, K] (kpair-permuted cols: evens then odds) @ packed [K/2, N]."""
+    M, K = xs.shape
+    K2, N = packed.shape
+    kernel = functools.partial(_stacked_kernel, nib_decode=nib_decode, k2=K2)
+    return pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=(N // block_n,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda j: (0, 0)),
+            pl.BlockSpec((K2, block_n), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((M, block_n), lambda j: (0, j)),
+        scratch_shapes=[pltpu.VMEM((K, block_n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K2 * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(xs, packed)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_lns4k
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--shapes", default="4096x4096,4096x11008,11008x4096")
+    ap.add_argument("--variants", default="bf16,xla2dot,fused,stacked")
+    args = ap.parse_args()
+
+    M = args.m
+    rng = np.random.default_rng(0)
+    variants = args.variants.split(",")
+
+    for sh in args.shapes.split(","):
+        K, N = map(int, sh.split("x"))
+        x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+        wb = w.astype(jnp.bfloat16)
+        packed = pack_lns4k(w).packed
+        xe, xo = qmm._kpair_split(x)
+        xs = jnp.concatenate([xe, xo], axis=1)
+        b2d = qmm._bias2d(None, N)
+
+        def bf16_dot(x, wb):
+            return jnp.dot(x, wb, preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16)
+
+        runs = {
+            "bf16": (bf16_dot, x, wb),
+            "xla2dot": (lambda x, p: qmm._xla_kpair_dot(
+                x, p, qmm._lns4_nib_decode, b2d, jnp.bfloat16), x, packed),
+            "fused": (lambda x, p: qmm._kpair_matmul(
+                x, p, qmm._lns4_nib_decode, None, None, jnp.bfloat16, None),
+                x, packed),
+            "stacked": (lambda xs, p: stacked_matmul(
+                xs, p, qmm._lns4_nib_decode), xs, packed),
+        }
+        # correctness gate: every variant must agree with the XLA kpair dot
+        ref = np.asarray(jax.device_get(runs["xla2dot"][0](x, packed)),
+                         np.float32)
+        for name in variants:
+            if name in ("bf16", "xla2dot"):
+                continue
+            fn, *a = runs[name]
+            got = np.asarray(jax.device_get(fn(*a)), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+            assert np.allclose(got, ref, rtol=3e-2, atol=3e-2), (name, err)
+
+        base = None
+        for name in variants:
+            fn, *a = runs[name]
+            t = timeit(fn, *a, iters=args.iters)
+            note = ""
+            if name == "bf16":
+                base = t
+            elif base:
+                note = f"  ({base / t:.3f}x bf16)"
+            gbs = K * N * (2 if name == "bf16" else 0.5) / t / 1e9
+            print(f"{K}x{N} {name:8s} {t * 1e3:7.3f} ms  {gbs:6.1f} GB/s"
+                  f"{note}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
