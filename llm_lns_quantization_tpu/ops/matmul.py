@@ -614,13 +614,21 @@ def lns4_matmul(
 # exactly once. The even/odd activation split happens here, outside the
 # kernel, on the [M, K] activations (tiny in the decode regime).
 
-# Fused-kernel threshold for the kpair tier (weight elements). Unlike the
-# other formats — where XLA's dequant-dot matches the fused kernels'
-# traffic and wins on scheduling (_FUSED_MIN_WEIGHT above) — XLA cannot
+# Fused-kernel threshold for the kpair tier (weight elements). XLA cannot
 # express the shared packed read across the two plane dots, so the fused
-# kernel is the ONLY true 0.5 B/elem path and dispatches by default in the
-# decode regime for weights at serving scale.
-_KPAIR_FUSED_MIN_WEIGHT = 8 * 2**20
+# kernel is the only true 0.5 B/elem path — but measured IN-MODEL at 7B
+# decode (round 2, scripts/bench_serving_7b.py) the kernel's opaque
+# pallas_call loses more to XLA's inter-op scheduling than the halved read
+# saves: lns4 fused 0.80x bf16 vs ~1.0x for the XLA kpair two-dot, even
+# though the same kernel wins 1.2-1.3x in the isolated chained-kernel
+# microbench (scripts/bench_kpair.py). Default is therefore XLA-everywhere,
+# consistent with _FUSED_MIN_WEIGHT; the env override below exists for
+# benchmarking and for hardware where the trade flips (untunneled chips).
+import os as _os
+
+_KPAIR_FUSED_MIN_WEIGHT = int(
+    _os.environ.get("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
+)
 
 
 def _kpair_split(x):

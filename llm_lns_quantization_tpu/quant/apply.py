@@ -177,6 +177,17 @@ def quantize_weights(params, config: QuantConfig):
                 pack_mx(w, bs, e, m) if w.shape[0] % bs == 0 else fn(w)
             )
 
+    # One compiled dispatch per leaf (cached per shape): the packers are
+    # ~15-20 elementwise ops each, and dispatching them op-by-op both
+    # round-trips through the runtime per op and — on the axon-tunneled
+    # TPU — leaks host RAM in the tunnel client per dispatch (a 7B int4g
+    # pack measured >125 GB host RSS unjitted: OOM; jitted it is one RPC
+    # per leaf). Shape-dependent layout branches in `pack` stay Python-level
+    # and resolve at trace time.
+    if pack is not None:
+        pack = jax.jit(pack)
+    quant_leaf = jax.jit(fn)
+
     def leaf_fn(path, leaf):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
         if _is_skipped(name, config.skip_weight_patterns):
@@ -185,7 +196,7 @@ def quantize_weights(params, config: QuantConfig):
             return leaf
         if pack is not None and any(name.endswith(p) for p in _PACKABLE):
             return pack(leaf)
-        return fn(leaf)
+        return quant_leaf(leaf)
 
     return jax.tree_util.tree_map_with_path(leaf_fn, params)
 

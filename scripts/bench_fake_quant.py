@@ -43,12 +43,22 @@ class _SiteFilter:
 
 
 def main():
+    import argparse
+
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from llm_lns_quantization_tpu.models import build_model
     from llm_lns_quantization_tpu.models import gpt2
     from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", default=None,
+                    help="comma-separated site subset for the per-site pass "
+                         "(default: all QUANT_SITES); 'none' skips it")
+    args = ap.parse_args()
+    sites = (gpt2.QUANT_SITES if args.sites is None
+             else [] if args.sites == "none" else args.sites.split(","))
 
     B, T = 8, 1024
     rng = np.random.default_rng(0)
@@ -86,7 +96,7 @@ def main():
 
     # per-site attribution on the act-only path (bf16 params isolate the
     # runtime cost; weight fake-quant has no per-step cost)
-    for site in gpt2.QUANT_SITES:
+    for site in sites:
         run(f"a only, -{site}", base, _SiteFilter(aq, [site]))
 
 

@@ -94,6 +94,11 @@ def main():
     from llm_lns_quantization_tpu.ops import matmul as qmm
     from llm_lns_quantization_tpu.ops.packing import pack_lns4k
 
+    # the `fused` variant must reach the Mosaic kernel regardless of the
+    # shipped dispatch default (XLA-everywhere since the round-2 in-model
+    # measurement); `xla2dot` calls _xla_kpair_dot directly
+    qmm._KPAIR_FUSED_MIN_WEIGHT = 0
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--iters", type=int, default=64)

@@ -1056,10 +1056,14 @@ def test_kpair_model_path():
 
 
 def test_kpair_dispatch_policy():
-    """kpair production dispatch: unlike the byte formats (XLA-everywhere,
-    _FUSED_MIN_WEIGHT), the fused kpair kernel is the only true 0.5 B/elem
-    path, so decode-regime matmuls over serving-scale weights take it by
-    default; small weights and compute-bound (large M) shapes stay XLA."""
+    """kpair production dispatch: XLA-everywhere by default — the round-2
+    in-model 7B measurement showed the fused kernel's opaque pallas_call
+    loses more to XLA's inter-op scheduling than its halved packed read
+    saves (lns4 fused 0.80x bf16 vs ~1.0x XLA two-dot; BASELINE.md). The
+    fused tier stays selectable via the LLMQ_KPAIR_FUSED_MIN_WEIGHT env
+    override (read at import) or by patching the module constant."""
+    from unittest import mock
+
     from llm_lns_quantization_tpu.ops import matmul as qmm
     from llm_lns_quantization_tpu.ops.packing import pack_lns4k
 
@@ -1074,8 +1078,15 @@ def test_kpair_dispatch_policy():
     x_score = jnp.zeros((2048, 4096), jnp.bfloat16)
     mm = lambda x, p: qmm.lns4k_matmul(x, p)  # noqa: E731
     assert not has_pallas(mm, x_small, w_small.packed)   # tiny weight: XLA
-    assert has_pallas(mm, x_big, w_big.packed)           # serving decode: fused
+    assert not has_pallas(mm, x_big, w_big.packed)       # serving decode: XLA
     assert not has_pallas(mm, x_score, w_big.packed)     # compute-bound: XLA
+    # distinct M inside the mock block: lns4k_matmul is jitted, so reusing
+    # x_big's shape would replay the pre-mock (XLA) trace from the jit cache
+    x_big8 = jnp.zeros((8, 4096), jnp.bfloat16)
+    x_score8 = jnp.zeros((1024, 4096), jnp.bfloat16)
+    with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 8 * 2**20):
+        assert has_pallas(mm, x_big8, w_big.packed)        # override: fused
+        assert not has_pallas(mm, x_score8, w_big.packed)  # still M-gated
 
 
 def test_int4gk_pack_same_grid_as_halves():
