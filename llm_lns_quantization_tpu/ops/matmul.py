@@ -626,9 +626,22 @@ def lns4_matmul(
 # benchmarking and for hardware where the trade flips (untunneled chips).
 import os as _os
 
-_KPAIR_FUSED_MIN_WEIGHT = int(
-    _os.environ.get("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
-)
+
+def _env_int(name: str, default: int) -> int:
+    # a malformed value must not break every import of the package
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"{name}={raw!r} is not an int; using {default}")
+        return default
+
+
+_KPAIR_FUSED_MIN_WEIGHT = _env_int("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
 
 
 def _kpair_split(x):

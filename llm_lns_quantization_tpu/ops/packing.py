@@ -896,3 +896,13 @@ def unpack_nf4k(q: NF4KWeight, dtype=jnp.bfloat16) -> jax.Array:
     val = (val.reshape(K // q.block_size, q.block_size, N)
            * q.bscale[:, None, :])
     return val.reshape(K, N).astype(dtype)
+
+
+# every packed-weight wrapper type: used by quant.apply.packed_leaf_report
+# (and tests) to tell real-quant leaves from fake-quant fallback arrays in a
+# quantized param pytree without enumerating classes at each call site.
+PACKED_WEIGHT_TYPES = (
+    LNSWeight, Int8Weight, LNS4Weight, MXWeight, FP8Weight, FP4Weight,
+    NF4Weight, Int4GroupWeight, LNS4KWeight, FP4KWeight, Int4GroupKWeight,
+    NF4KWeight,
+)

@@ -56,7 +56,16 @@ _RULES = {
         (r"mlp/c_proj_w$", P(AXIS_MODEL, None)),
     ],
     "llama": [
-        (r"embed$", P(None, AXIS_MODEL)),
+        # untied embedding table: shard the VOCAB axis (megatron
+        # VocabParallelEmbedding). The lookup's all-reduce sums one owning
+        # shard's row with zeros — exact in any order — whereas hidden-axis
+        # sharding makes the first rms_norm reduce over a sharded axis, and
+        # that psum's f32 reduction-order noise (~1e-7) is amplified to
+        # ~4e-4 by the bf16 casts + 4-bit weight grid of the packed-tier
+        # matmuls (root cause of the round-2 sharded int4gk forward
+        # divergence; with vocab sharding the sharded forward is bitwise
+        # equal to single-device for the whole packed tier).
+        (r"embed$", P(AXIS_MODEL, None)),
         (r"lm_head$", P(None, AXIS_MODEL)),
         (r"[qkv]_proj$", P(None, AXIS_MODEL)),
         (r"o_proj$", P(AXIS_MODEL, None)),

@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import QuantConfig
 
@@ -141,12 +142,24 @@ def quantize_weights(params, config: QuantConfig):
 
             # group-affine nibbles + (scale, zero)/group (the GPTQ grid):
             # kpair layout (true 0.5625 B/elem; K % group == 0 already
-            # implies the even K kpair needs), fake-quant for layers that
-            # don't divide the group. The halves-N packer stays available
-            # for direct use only.
-            pack = lambda w: (  # noqa: E731
-                pack_int4gk(w) if w.shape[0] % 128 == 0 else fn(w)
-            )
+            # implies the even K kpair needs). The group is ADAPTIVE per
+            # weight — the largest of 128/64/32 dividing K — so shapes like
+            # GPT-2 XL's K=1600 (1600 % 128 = 64) still pack at group 64
+            # instead of silently running dense bf16; without this, 2/3 of
+            # the XL block's weight bytes fell to the fake-quant fallback
+            # and the round-2 "int4g 1.344x decode" row mostly measured
+            # bf16 (advisor finding, ADVICE.md r2). Finer groups are
+            # strictly more accurate; the fake tier keeps the uniform
+            # g=128 + edge-padded tail convention, so fake<->packed bitwise
+            # parity holds exactly on K % 128 == 0 layers (the parity-test
+            # shapes). Layers whose K divides none of 128/64/32 fall back
+            # to fake-quant. The halves-N packer stays available for
+            # direct use only.
+            def pack(w):
+                for g in (128, 64, 32):
+                    if w.shape[0] % g == 0:
+                        return pack_int4gk(w, group_size=g)
+                return fn(w)
         elif config.weights in ("nf4", "nf4_dq"):
             from ..ops.packing import pack_nf4k
 
@@ -199,6 +212,38 @@ def quantize_weights(params, config: QuantConfig):
         return quant_leaf(leaf)
 
     return jax.tree_util.tree_map_with_path(leaf_fn, params)
+
+
+def packed_leaf_report(params) -> dict:
+    """Audit a quantized param pytree: how much of the matmul-eligible
+    weight volume actually landed in the packed (real-quant) tier.
+
+    Returns ``{"packed_leaves", "fallback_leaves", "packed_elems",
+    "fallback_elems"}`` where *fallback* counts `_PACKABLE`-named rank>=2
+    leaves that stayed plain arrays (fake-quant — dense bf16 at runtime).
+    Benchmarks record this so a row labeled "packed tier" cannot silently
+    measure mostly-unpacked weights (advisor finding, ADVICE.md r2: at
+    GPT-2 XL K=1600 the old fixed g=128 gate left ~2/3 of block weight
+    bytes unpacked while the bench row claimed the kpair tier)."""
+    from ..ops.packing import PACKED_WEIGHT_TYPES
+
+    leaves = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, PACKED_WEIGHT_TYPES)
+    )[0]
+    rep = {"packed_leaves": 0, "fallback_leaves": 0,
+           "packed_elems": 0, "fallback_elems": 0}
+    for path, leaf in leaves:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        if not any(name.endswith(p) for p in _PACKABLE):
+            continue
+        if isinstance(leaf, PACKED_WEIGHT_TYPES):
+            rep["packed_leaves"] += 1
+            rep["packed_elems"] += int(np.prod(leaf.shape))
+        elif getattr(leaf, "ndim", 0) >= 2:
+            rep["fallback_leaves"] += 1
+            rep["fallback_elems"] += int(np.prod(leaf.shape))
+    return rep
 
 
 class ActQuantizer:

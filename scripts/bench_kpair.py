@@ -154,7 +154,11 @@ def main():
                 base = t
             elif base:
                 note = f"  ({base / t:.3f}x bf16)"
-            gbs = K * N * (2 if name == "bf16" else 0.5) / t / 1e9
+            # effective weight bytes per element: bf16 reads 2, the fused/
+            # stacked kernels read the packed array once (0.5), but xla2dot
+            # reads it once per nibble plane — 1.0 effective (see docstring)
+            bpe = {"bf16": 2.0, "xla2dot": 1.0}.get(name, 0.5)
+            gbs = K * N * bpe / t / 1e9
             print(f"{K}x{N} {name:8s} {t * 1e3:7.3f} ms  {gbs:6.1f} GB/s"
                   f"{note}", flush=True)
 

@@ -1084,9 +1084,14 @@ def test_kpair_dispatch_policy():
     # x_big's shape would replay the pre-mock (XLA) trace from the jit cache
     x_big8 = jnp.zeros((8, 4096), jnp.bfloat16)
     x_score8 = jnp.zeros((1024, 4096), jnp.bfloat16)
-    with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 8 * 2**20):
-        assert has_pallas(mm, x_big8, w_big.packed)        # override: fused
-        assert not has_pallas(mm, x_score8, w_big.packed)  # still M-gated
+    try:
+        with mock.patch.object(qmm, "_KPAIR_FUSED_MIN_WEIGHT", 8 * 2**20):
+            assert has_pallas(mm, x_big8, w_big.packed)        # override: fused
+            assert not has_pallas(mm, x_score8, w_big.packed)  # still M-gated
+    finally:
+        # drop the fused-path traces cached under the mocked constant, or a
+        # later test hitting these shapes silently replays the fused kernel
+        jax.clear_caches()
 
 
 def test_int4gk_pack_same_grid_as_halves():
