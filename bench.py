@@ -1,24 +1,44 @@
-"""Benchmark: quantized scoring throughput on one TPU chip.
+"""Benchmark: quantized scoring + serving throughput on one TPU chip.
 
 Measures the eval harness's hot path (BASELINE.json config #1 shape: GPT-2
-124M, LNS8) — tokens/sec/chip for the jitted score step with LNS8 activation
-quantization (the reference's headline format), and the same step in plain
-bf16 as the roofline reference. Prints ONE JSON line:
+124M, LNS8) — tokens/sec/chip for the jitted score step with LNS8
+quantization (the reference's headline format) against the plain-bf16
+roofline — then the serving decode regime at 1.5B (GPT-2 XL) for the packed
+tiers, then the 7B flagship via subprocesses.
 
-  {"metric": ..., "value": tokens/s (quantized), "unit": "tokens/s/chip",
-   "vs_baseline": quantized/bf16 ratio}
+Driver-proof output contract (round-3, VERDICT r2 item #1): a FULL JSON
+record is printed and flushed after EVERY completed section, each line a
+superset of the previous one — so whatever outer timeout kills the process,
+the last complete stdout line already carries every number measured so far.
+The driver parses the final JSON line; `BENCH_r02.json` came back empty
+because the old design printed once at the very end.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-fraction of unquantized-bf16 throughput the quantized path sustains — the
-quantity the Pallas kernel tier is meant to drive toward (and beyond) 1.0.
+Wall-clock: reads an overall budget from $BENCH_BUDGET_S (default 1200 s,
+honoring CLAUDE.md's ~25 min promise with margin); sections that don't fit
+are recorded as skipped_* markers instead of hanging the driver. Warm
+compile cache: the whole run takes seconds per section plus device time.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.time()
+
+
+def _budget_s() -> float:
+    try:
+        return float(os.environ.get("BENCH_BUDGET_S", 1200.0))
+    except ValueError:
+        return 1200.0
+
+
+def _remaining() -> float:
+    return _budget_s() - (time.time() - _T0)
 
 
 def _score_fn(bundle, actq):
@@ -54,7 +74,7 @@ def _throughput(fn, params, tokens, targets, mask, iters=64):
 
 def _decode_fn(bundle, actq, batch, prompt_len, steps):
     """Greedy KV-cache decode loop: the memory-bound serving regime where
-    packed (1-byte) weights halve HBM traffic vs bf16. The cache honours the
+    packed (sub-byte) weights cut HBM traffic vs bf16. The cache honours the
     quant config's ``kv:`` mode (int8/fp8)."""
     cfg = bundle.cfg
     kv = actq.config.kv_cache or False
@@ -92,12 +112,9 @@ def _decode_throughput(fn, params, prompt, steps, iters=4):
     return B * steps * iters / dt
 
 
-def main():
-    # persistent compile cache: TPU compiles over the axon tunnel take
-    # minutes; cache them so repeat bench runs start in seconds
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def _section_124m(rec):
+    """Score + decode on GPT-2 124M: bf16 roofline, fake-quant LNS8 w+a,
+    packed (Pallas/XLA real-quant) LNS8 weights."""
     from llm_lns_quantization_tpu.models import build_model
     from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
 
@@ -106,25 +123,28 @@ def main():
     tokens = jnp.asarray(rng.integers(0, 50000, (B, T)).astype(np.int32))
     targets = jnp.asarray(rng.integers(0, 50000, (B, T)).astype(np.int32))
     mask = jnp.ones((B, T), bool)
+    rec.update({"batch": B, "seq": T})
 
-    # bf16 reference
     base = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16)
     base_fn = _score_fn(base, ActQuantizer(QuantConfig()))
     base_tps = _throughput(base_fn, base.params, tokens, targets, mask)
+    rec["baseline_bf16_tokens_per_s"] = round(base_tps, 1)
 
-    # LNS8 weight+activation quantized path (fake-quant, XLA-fused)
     quant = QuantConfig(weights="lns8", acts="lns8")
-    qbundle = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16, quant=quant)
+    qbundle = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16,
+                          quant=quant)
     q_fn = _score_fn(qbundle, ActQuantizer(quant))
     q_tps = _throughput(q_fn, qbundle.params, tokens, targets, mask)
+    rec["fake_quant_w_a_tokens_per_s"] = round(q_tps, 1)
+    rec["fake_quant_vs_baseline"] = round(q_tps / base_tps, 4)
 
-    # LNS8 real-quant path: packed uint8 weights + Pallas dequant-fused matmul
     pquant = QuantConfig(weights="lns8", use_pallas=True)
-    pbundle = build_model(
-        family="gpt2", preset="small", dtype=jnp.bfloat16, quant=pquant
-    )
+    pbundle = build_model(family="gpt2", preset="small", dtype=jnp.bfloat16,
+                          quant=pquant)
     p_fn = _score_fn(pbundle, ActQuantizer(pquant))
     p_tps = _throughput(p_fn, pbundle.params, tokens, targets, mask)
+    rec["value"] = round(p_tps, 1)
+    rec["vs_baseline"] = round(p_tps / base_tps, 4)
 
     # decode (serving) regime: batch 8, 64 steps after a 128-token prompt
     DB, DP, DS = 8, 128, 64
@@ -137,101 +157,86 @@ def main():
         _decode_fn(pbundle, ActQuantizer(pquant), DB, DP, DS),
         pbundle.params, prompt, DS,
     )
-    del base, qbundle, pbundle
+    rec["decode_bf16_tokens_per_s"] = round(base_dec, 1)
+    rec["decode_pallas_lns8_tokens_per_s"] = round(p_dec, 1)
+    rec["decode_vs_baseline"] = round(p_dec / base_dec, 4)
 
-    # serving-representative decode at 1.5B (gpt2-xl), where weight HBM
-    # traffic dominates: packed int8 weights read half the bytes of bf16 and
-    # the upcast fuses into XLA's matmul operand read (measured 1.3x bf16)
-    XDS = 32
+
+def _section_xl(rec):
+    """Serving-representative decode at 1.5B (GPT-2 XL), where weight HBM
+    traffic dominates: packed byte tier (w8a8) vs the kpair 4-bit tiers
+    (lns4k / int4gk / nf4k). Each variant row lands in `rec` as it
+    completes, and the packed-vs-fallback leaf audit rides along so a row
+    cannot silently measure unpacked weights (ADVICE r2)."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
+    from llm_lns_quantization_tpu.quant.apply import packed_leaf_report
+
+    rng = np.random.default_rng(1)
+    DB, DP, XDS = 8, 128, 32
+    prompt = jnp.asarray(rng.integers(0, 50000, (DB, DP)).astype(np.int32))
+
     xbase = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16)
     xbase_dec = _decode_throughput(
         _decode_fn(xbase, ActQuantizer(QuantConfig()), DB, DP, XDS),
         xbase.params, prompt, XDS, iters=4,
     )
-    wquant = QuantConfig.parse("w:w8a8;pallas")
-    xq = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16, quant=wquant)
-    xq_dec = _decode_throughput(
-        _decode_fn(xq, ActQuantizer(wquant), DB, DP, XDS),
-        xq.params, prompt, XDS, iters=4,
-    )
-    del xq
-    # kpair lns4 (true 0.5 B/elem tier, round 2) at the same 1.5B shape
-    k4quant = QuantConfig.parse("w:lns4;pallas")
-    xk4 = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16,
-                      quant=k4quant)
-    xk4_dec = _decode_throughput(
-        _decode_fn(xk4, ActQuantizer(k4quant), DB, DP, XDS),
-        xk4.params, prompt, XDS, iters=4,
-    )
-    del xk4
-    # kpair group-affine INT4 (GPTQ grid) — the fastest 4-bit decode measured
-    # at 1.5B (1.34x bf16, round 2): its convert+mul+add decode fuses into
-    # XLA's dot operand read more cheaply than the LNS bit assembly
-    giquant = QuantConfig.parse("w:int4g;pallas")
-    xgi = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16,
-                      quant=giquant)
-    xgi_dec = _decode_throughput(
-        _decode_fn(xgi, ActQuantizer(giquant), DB, DP, XDS),
-        xgi.params, prompt, XDS, iters=4,
-    )
-    del xgi
+    del xbase
+    rec["decode_xl1p5b_bf16_tokens_per_s"] = round(xbase_dec, 1)
 
-    rec = {
-        "metric": "gpt2_124m_lns8_pallas_score_throughput",
-        "value": round(p_tps, 1),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(p_tps / base_tps, 4),
-        "baseline_bf16_tokens_per_s": round(base_tps, 1),
-        "fake_quant_w_a_tokens_per_s": round(q_tps, 1),
-        "fake_quant_vs_baseline": round(q_tps / base_tps, 4),
-        "decode_bf16_tokens_per_s": round(base_dec, 1),
-        "decode_pallas_lns8_tokens_per_s": round(p_dec, 1),
-        "decode_vs_baseline": round(p_dec / base_dec, 4),
-        "decode_xl1p5b_bf16_tokens_per_s": round(xbase_dec, 1),
-        "decode_xl1p5b_w8a8_tokens_per_s": round(xq_dec, 1),
-        "decode_xl1p5b_vs_baseline": round(xq_dec / xbase_dec, 4),
-        "decode_xl1p5b_lns4_kpair_tokens_per_s": round(xk4_dec, 1),
-        "decode_xl1p5b_lns4_kpair_vs_baseline": round(xk4_dec / xbase_dec, 4),
-        "decode_xl1p5b_int4g_kpair_tokens_per_s": round(xgi_dec, 1),
-        "decode_xl1p5b_int4g_kpair_vs_baseline": round(xgi_dec / xbase_dec, 4),
-        "batch": B,
-        "seq": T,
-        "device": str(jax.devices()[0]),
-    }
-    rec.update(_flagship_7b_fields())
-    rec.update(_real_checkpoint_fields())
-    print(json.dumps(rec))
+    variants = [
+        ("w8a8", "w:w8a8;pallas"),
+        ("lns4_kpair", "w:lns4;pallas"),
+        ("int4g_kpair", "w:int4g;pallas"),
+        ("nf4_kpair", "w:nf4;pallas"),
+    ]
+    for name, spec in variants:
+        if _remaining() < 60:
+            rec[f"skipped_xl_{name}"] = "budget exhausted"
+            continue
+        quant = QuantConfig.parse(spec)
+        xq = build_model(family="gpt2", preset="xl", dtype=jnp.bfloat16,
+                         quant=quant)
+        audit = packed_leaf_report(xq.params)
+        xq_dec = _decode_throughput(
+            _decode_fn(xq, ActQuantizer(quant), DB, DP, XDS),
+            xq.params, prompt, XDS, iters=4,
+        )
+        del xq
+        rec[f"decode_xl1p5b_{name}_tokens_per_s"] = round(xq_dec, 1)
+        rec[f"decode_xl1p5b_{name}_vs_baseline"] = round(xq_dec / xbase_dec, 4)
+        rec[f"xl_{name}_packed_leaves"] = audit["packed_leaves"]
+        rec[f"xl_{name}_fallback_leaves"] = audit["fallback_leaves"]
+        _emit(rec)
+    # legacy round-1/2 field name kept for cross-round comparability
+    if "decode_xl1p5b_w8a8_tokens_per_s" in rec:
+        rec["decode_xl1p5b_vs_baseline"] = rec[
+            "decode_xl1p5b_w8a8_vs_baseline"]
 
 
-def _flagship_7b_fields(budget_s: float = 2400.0):
+def _section_7b(rec):
     """BASELINE config #3 shape (Llama-2-7B) via scripts/bench_serving_7b.py
     subprocesses (one per regime — the axon tunnel client leaks host RAM
-    across the ~13 GB weight transfers, so each regime gets a fresh process).
-    Driver-artifact capture of the flagship claims (VERDICT round-1 item #6);
-    wall-clock-guarded: on a cold compile cache a regime can take ~15 min, so
-    whatever exceeds the budget is skipped with a marker instead of hanging
-    the driver."""
-    import os
+    across the ~13 GB weight transfers, so each regime gets a fresh
+    process). Budget = whatever is left of $BENCH_BUDGET_S."""
     import subprocess
     import sys
-    import time
 
     if os.environ.get("BENCH_SKIP_7B"):
-        return {"skipped_7b": "BENCH_SKIP_7B set"}
-    budget_s = float(os.environ.get("BENCH_7B_BUDGET_S", budget_s))
-    out = {}
-    t0 = time.time()
+        rec["skipped_7b"] = "BENCH_SKIP_7B set"
+        return
     runs = [
         # format order = salvage priority: on a timeout whatever rows the
         # subprocess printed before the kill are still parsed below
-        ("decode_7b", ["w:w8a8;pallas", "w:int4g;pallas", "w:lns4;pallas"],
+        ("decode_7b",
+         ["w:int4g;pallas", "w:w8a8;pallas", "w:lns4;pallas", "w:nf4;pallas"],
          []),
         ("score_7b", ["w:w8a8;pallas"], ["--score"]),
     ]
     for tag, formats, extra in runs:
-        remaining = budget_s - (time.time() - t0)
-        if remaining < 300:
-            out[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
+        remaining = _remaining()
+        if remaining < 240:
+            rec[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
             continue
         cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
         stdout = ""
@@ -242,43 +247,41 @@ def _flagship_7b_fields(budget_s: float = 2400.0):
             )
             stdout = res.stdout
             if res.returncode != 0:
-                out[f"skipped_{tag}"] = (res.stdout + res.stderr)[-300:]
-                continue
+                rec[f"skipped_{tag}"] = (res.stdout + res.stderr)[-300:]
         except subprocess.TimeoutExpired as e:
             # keep any rows that finished before the budget kill (slow-tunnel
             # sessions routinely lose the tail formats, not the head ones)
             stdout = (e.stdout or b"")
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
-            out[f"partial_{tag}"] = f"timeout after {int(remaining)}s"
+            rec[f"partial_{tag}"] = f"timeout after {int(remaining)}s"
         for line in stdout.splitlines():
             try:
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
             fmt = r.get("format", "").replace("w:", "").replace(";pallas", "")
-            fmt = fmt.replace("lns4", "lns4_kpair").replace(
-                "int4g", "int4g_kpair")
+            fmt = (fmt.replace("lns4", "lns4_kpair")
+                      .replace("int4g", "int4g_kpair")
+                      .replace("nf4", "nf4_kpair"))
             key = next((k for k in r if k.endswith("tokens_per_s")), None)
             if key is None:
                 continue
-            out[f"{tag}_{fmt}_tokens_per_s"] = r[key]
+            rec[f"{tag}_{fmt}_tokens_per_s"] = r[key]
             if "vs_bf16" in r:
-                out[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
-    return out
+                rec[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
+        _emit(rec)
 
 
-def _real_checkpoint_fields():
-    """Real-checkpoint accuracy evidence (VERDICT round-1 item #1): if the
-    per-format ppl sweep (scripts/eval_formats.py on the locally trained
-    124M checkpoint — docs/checkpoints.md) has produced RESULTS.md.jsonl,
-    surface the headline numbers in the driver artifact. No TPU cost."""
-    import os
-
+def _real_checkpoint_fields(rec):
+    """Real-checkpoint accuracy evidence (VERDICT round-1 item #1): surface
+    the headline numbers of the per-format sweep on the locally trained
+    checkpoint (scripts/eval_formats.py -> RESULTS.md.jsonl) in the driver
+    artifact. No TPU cost."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "RESULTS.md.jsonl")
     if not os.path.exists(path):
-        return {}
+        return
     rows = {}
     with open(path) as f:
         for line in f:
@@ -289,17 +292,55 @@ def _real_checkpoint_fields():
                 continue
     base = rows.get("bf16 baseline")
     if not base:
-        return {}
-    out = {"real_ckpt_bf16_bits_per_byte": round(base["bits_per_byte"], 4)}
+        return
+    rec["real_ckpt_bf16_bits_per_byte"] = round(base["bits_per_byte"], 4)
     for label, key in [("w:lns8", "real_ckpt_lns8_delta_bpb"),
                        ("w:w8a8", "real_ckpt_w8a8_delta_bpb"),
                        ("w:int4g", "real_ckpt_int4g_delta_bpb"),
                        ("a:lns8", "real_ckpt_act_lns8_delta_bpb")]:
         if label in rows:
-            out[key] = round(
+            rec[key] = round(
                 rows[label]["bits_per_byte"] - base["bits_per_byte"], 4
             )
-    return out
+
+
+def _emit(rec):
+    rec["elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    # persistent compile cache: TPU compiles over the axon tunnel take
+    # minutes; cache them so repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rec = {
+        "metric": "gpt2_124m_lns8_pallas_score_throughput",
+        "value": None,
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "budget_s": _budget_s(),
+        "device": str(jax.devices()[0]),
+    }
+    _real_checkpoint_fields(rec)
+    # section gates: minimum seconds of budget left to even start a section
+    # (warm-cache costs; a cold cache blows through these and later sections
+    # record themselves skipped instead of losing the whole artifact)
+    sections = [("124m", _section_124m, 120),
+                ("xl1p5b", _section_xl, 90),
+                ("7b", _section_7b, 240)]
+    for name, fn, need in sections:
+        if _remaining() < need:
+            rec[f"skipped_{name}"] = (
+                f"budget exhausted ({int(_remaining())}s left, need {need})")
+            _emit(rec)
+            continue
+        try:
+            fn(rec)
+        except Exception as e:  # salvage everything measured so far
+            rec[f"error_{name}"] = f"{type(e).__name__}: {e}"[:300]
+        _emit(rec)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,10 @@ def main():
 
     from llm_lns_quantization_tpu.models import ModelBundle, llama
     from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
-    from llm_lns_quantization_tpu.quant.apply import quantize_weights
+    from llm_lns_quantization_tpu.quant.apply import (
+        packed_leaf_report,
+        quantize_weights,
+    )
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("formats", nargs="*",
@@ -138,6 +141,7 @@ def main():
         qparams = quantize_weights(host, quant)
         qparams = jax.device_put(qparams, tpu)  # move remaining host leaves
         jax.block_until_ready(qparams)
+        audit = packed_leaf_report(qparams)
         qb = bundle_with(qparams)
         q_tps = measure(qb, quant)
         del qparams, qb
@@ -146,6 +150,8 @@ def main():
                "t_wall_s": round(time.time() - t0, 1)}
         if base_tps:
             rec["vs_bf16"] = round(q_tps / base_tps, 4)
+        rec.update({f"packed_{k}": v for k, v in audit.items()
+                    if k.endswith("leaves")})
         print(json.dumps(rec), flush=True)
 
 
