@@ -63,17 +63,76 @@ DEFAULT_SPECS = [
 ]
 
 
-def run_one(pretrained, family, dtype, task_name, spec, limit, batch_size):
+def run_one(pretrained, family, dtype, task_name, spec, limit, batch_size,
+            data_dir=None, stderr_docs=False):
     from llm_lns_quantization_tpu.harness.evaluator import simple_evaluate
 
     margs = f"family={family},pretrained={pretrained},tokenizer={pretrained},dtype={dtype},batch_size={batch_size}"
     if spec:
         margs += f",quant={spec}"
+    kwargs = {}
+    out_dir = None
+    if stderr_docs:
+        # per-doc (ll, weight) pairs ride the existing --write_out surface;
+        # bootstrap CIs are computed here rather than in the harness because
+        # the reference's stderr_for_metric (metrics.py:176-181) deliberately
+        # excludes the weighted perplexity family and the result-dict shape
+        # is a pinned behavioral contract (goldens + oracle parity)
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="evalfmt_writeout_")
+        kwargs = {"write_out": True, "output_base_path": out_dir}
     out = simple_evaluate(
         model="tpu", model_args=margs, tasks=[task_name], num_fewshot=0,
-        no_cache=True, bootstrap_iters=0, limit=limit,
+        no_cache=True, bootstrap_iters=0, limit=limit, data_dir=data_dir,
+        **kwargs,
     )
-    return out["results"][task_name]
+    res = dict(out["results"][task_name])
+    if stderr_docs:
+        res.update(_bootstrap_ppl_stderr(out_dir, task_name))
+    return res
+
+
+def _bootstrap_ppl_stderr(out_dir, task_name, iters=10000, seed=17):
+    """Bootstrap stderr of the weighted perplexity family over documents.
+
+    Reads the per-doc metric tuples (``(ll, words)`` / ``(ll, bytes)``) the
+    evaluator wrote via ``--write_out`` and resamples documents: the
+    aggregate is exp(-sum ll / sum w) (harness/metrics.py
+    weighted_perplexity), so the doc is the exchangeable unit.
+    """
+    import ast
+    import glob
+    import math
+
+    import numpy as np
+
+    path = glob.glob(os.path.join(out_dir, f"{task_name}*write_out_info.json"))
+    if not path:
+        return {}
+    with open(path[0]) as f:
+        docs = json.load(f)
+    pairs = {"word_perplexity": [], "byte_perplexity": []}
+    for doc in docs.values() if isinstance(docs, dict) else docs:
+        for metric in pairs:
+            if metric in doc:
+                pairs[metric].append(ast.literal_eval(doc[metric]))
+    out = {}
+    rng = np.random.default_rng(seed)
+    for metric, vals in pairs.items():
+        if len(vals) < 2:
+            continue
+        ll = np.asarray([v[0] for v in vals])
+        w = np.asarray([float(v[1]) for v in vals])
+        n = len(vals)
+        idx = rng.integers(0, n, size=(iters, n))
+        agg = np.exp(-ll[idx].sum(axis=1) / w[idx].sum(axis=1))
+        out[metric + "_stderr"] = float(np.std(agg))
+        if metric == "byte_perplexity":
+            # bits_per_byte = log2(byte_perplexity)
+            out["bits_per_byte_stderr"] = float(np.std(np.log2(agg)))
+    out["stderr_docs"] = len(pairs["byte_perplexity"])
+    return out
 
 
 def main(argv=None):
@@ -81,7 +140,17 @@ def main(argv=None):
     ap.add_argument("--pretrained", required=True)
     ap.add_argument("--family", default="gpt2")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--corpus-json", required=True)
+    ap.add_argument("--corpus-json", default=None,
+                    help="json= corpus-file route (round-2 style)")
+    ap.add_argument("--task", default=None,
+                    help="evaluate through a REGISTERED task class instead "
+                         "of the json= route (e.g. wikitext with --data_dir "
+                         "staging the docs; the round-3 default experiment)")
+    ap.add_argument("--data_dir", default=None,
+                    help="offline task-data dir for --task")
+    ap.add_argument("--stderr", action="store_true",
+                    help="bootstrap per-document error bars for the "
+                         "perplexity family (resamples docs, 10k iters)")
     ap.add_argument("--split", default="test")
     ap.add_argument("--text-key", default="text")
     ap.add_argument("--limit", type=int, default=64)
@@ -98,7 +167,11 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    task_name = f"json={args.split}:{args.text_key}:{os.path.abspath(args.corpus_json)}"
+    if args.task:
+        task_name = args.task
+    else:
+        assert args.corpus_json, "need --task or --corpus-json"
+        task_name = f"json={args.split}:{args.text_key}:{os.path.abspath(args.corpus_json)}"
     if args.specs:
         specs = [(s, None if s == "baseline" else s)
                  for s in args.specs.split(",")]
@@ -119,12 +192,17 @@ def main(argv=None):
             continue
         t0 = time.time()
         res = run_one(args.pretrained, args.family, args.dtype, task_name,
-                      spec, args.limit, args.batch_size)
+                      spec, args.limit, args.batch_size,
+                      data_dir=args.data_dir, stderr_docs=args.stderr)
         rec = {"label": label, "spec": spec,
                "word_perplexity": res["word_perplexity"],
                "byte_perplexity": res["byte_perplexity"],
                "bits_per_byte": res["bits_per_byte"],
                "seconds": round(time.time() - t0, 1)}
+        for k in ("word_perplexity_stderr", "byte_perplexity_stderr",
+                  "bits_per_byte_stderr", "stderr_docs"):
+            if k in res:
+                rec[k] = res[k]
         done[label] = rec
         with open(state_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -141,8 +219,11 @@ def main(argv=None):
         if not r:
             continue
         d = (r["bits_per_byte"] - base["bits_per_byte"]) if base else float("nan")
+        bpb = f"{r['bits_per_byte']:.4f}"
+        if "bits_per_byte_stderr" in r:
+            bpb += f" ± {r['bits_per_byte_stderr']:.4f}"
         lines.append(
-            f"| {label} | {r['byte_perplexity']:.4f} | {r['bits_per_byte']:.4f} "
+            f"| {label} | {r['byte_perplexity']:.4f} | {bpb} "
             f"| {d:+.4f} | {r['word_perplexity']:.1f} |"
         )
     table = "\n".join(lines)
