@@ -86,6 +86,14 @@ def build_model(
 
         params = merge_lora(params, family, peft)
 
+    if quant is not None and quant.fuse_proj:
+        fuse = getattr(mod, "fuse_projections", None)
+        if fuse is None:
+            raise ValueError(
+                f"quant spec requests 'fuse' but family {family!r} has no "
+                "fused serving layout (llama only; gpt2's c_attn is already "
+                "a fused QKV)")
+        params = fuse(params)
     if quant is not None and quant.weights:
         params = quantize_weights(params, quant)
 

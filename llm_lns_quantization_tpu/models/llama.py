@@ -142,6 +142,34 @@ def init_params(key, cfg: LlamaConfig) -> Dict:
     return p
 
 
+def fuse_projections(params) -> Dict:
+    """Serving-layout transform (``;fuse``): concatenate q/k/v -> ``qkv_proj``
+    [H, H+2*kv_dim] and gate/up -> ``gateup_proj`` [H, 2I] per layer, BEFORE
+    weight quantization/packing.
+
+    Cuts the 7 matmul dispatches per block to 4 and reads the shared input
+    activation once per fused group — the decode-regime fixed per-dispatch
+    cost was the measured blocker for the packed 4-bit tiers (BASELINE.md
+    round 2). Concatenation runs along N, so every packed format's grid
+    (per-column scales, K-groups, K-blocks) is bitwise unchanged; with
+    weight-only quant (enforced by QuantConfig.parse) the fused forward is
+    numerically identical to the unfused one.
+    """
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        lp["qkv_proj"] = jnp.concatenate(
+            [lp.pop("q_proj"), lp.pop("k_proj"), lp.pop("v_proj")], axis=1
+        )
+        lp["gateup_proj"] = jnp.concatenate(
+            [lp.pop("gate_proj"), lp.pop("up_proj")], axis=1
+        )
+        layers.append(lp)
+    out["layers"] = layers
+    return out
+
+
 def _rope_freqs(cfg: LlamaConfig):
     """Inverse frequencies, with HF-compatible rope_scaling variants:
 
@@ -221,9 +249,19 @@ def _attention(x, lp, cfg: LlamaConfig, actq, mask_bias, cos, sin, cache, cache_
     B, T, H = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = dense(x, lp["q_proj"], None, actq, "attn_q").reshape(B, T, nh, hd)
-    k = dense(x, lp["k_proj"], None, actq, "attn_k").reshape(B, T, nkv, hd)
-    v = dense(x, lp["v_proj"], None, actq, "attn_v").reshape(B, T, nkv, hd)
+    if "qkv_proj" in lp:
+        # fused serving layout (fuse_projections): one matmul, split after.
+        # actq is the identity here — QuantConfig.parse rejects fuse with
+        # activation quant, so the attn_q/k/v sites lose nothing.
+        qdim, kvdim = nh * hd, nkv * hd
+        qkv = dense(x, lp["qkv_proj"], None, actq, "attn_q")
+        q = qkv[..., :qdim].reshape(B, T, nh, hd)
+        k = qkv[..., qdim:qdim + kvdim].reshape(B, T, nkv, hd)
+        v = qkv[..., qdim + kvdim:].reshape(B, T, nkv, hd)
+    else:
+        q = dense(x, lp["q_proj"], None, actq, "attn_q").reshape(B, T, nh, hd)
+        k = dense(x, lp["k_proj"], None, actq, "attn_k").reshape(B, T, nkv, hd)
+        v = dense(x, lp["v_proj"], None, actq, "attn_v").reshape(B, T, nkv, hd)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
@@ -304,8 +342,12 @@ def forward(
         )
         x = x + attn_out
         h = actq("post_attn_norm", rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps))
-        gate = dense(h, lp["gate_proj"], None, actq, "mlp_gate")
-        up = dense(h, lp["up_proj"], None, actq, "mlp_up")
+        if "gateup_proj" in lp:
+            gu = dense(h, lp["gateup_proj"], None, actq, "mlp_gate")
+            gate, up = gu[..., :cfg.intermediate_size], gu[..., cfg.intermediate_size:]
+        else:
+            gate = dense(h, lp["gate_proj"], None, actq, "mlp_gate")
+            up = dense(h, lp["up_proj"], None, actq, "mlp_up")
         act = actq("mlp_act", jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype))
         x = x + dense(act * up, lp["down_proj"], None, actq, "mlp_down")
         if decode:

@@ -72,6 +72,15 @@ class QuantConfig:
     skip_weight_patterns: tuple = ("norm", "ln_", "layernorm")
     quantize_embedding_acts: bool = True
     use_pallas: bool = False  # route matmuls through fused Pallas kernels
+    # serve with q/k/v (and gate/up) packed as ONE concatenated weight each:
+    # 7 matmul dispatches per llama block become 4, and the shared x is read
+    # once per fused group — the decode regime's fixed per-dispatch cost was
+    # the measured blocker for the 4-bit tiers (BASELINE.md round 2).
+    # Weight-only: requires acts=None (activation-site semantics would change
+    # otherwise); concatenation along N leaves every format's quantization
+    # grid bitwise identical (groups/blocks/scales all run along K or N
+    # columns, never across the concat boundary).
+    fuse_proj: bool = False
 
     @property
     def weight_fn(self):
@@ -96,12 +105,15 @@ class QuantConfig:
             return cls()
         weights = acts = kv = None
         use_pallas = False
+        fuse_proj = False
         for part in spec.split(";"):
             part = part.strip()
             if not part:
                 continue
             if part == "pallas":
                 use_pallas = True
+            elif part == "fuse":
+                fuse_proj = True
             elif part.startswith("w:"):
                 weights = part[2:]
             elif part.startswith("a:"):
@@ -117,7 +129,13 @@ class QuantConfig:
             # init_cache branches on the string: anything truthy that is not
             # "fp8" would silently select the int8 cache
             raise ValueError(f"unknown kv cache mode {kv!r}; have: int8, fp8")
-        return cls(weights=weights, acts=acts, kv_cache=kv, use_pallas=use_pallas)
+        if fuse_proj and acts is not None:
+            raise ValueError(
+                "fuse collapses the attn_q/k/v and mlp_gate/up activation "
+                "sites into one matmul each, changing activation-quant "
+                "semantics; use fuse only with weight-only specs")
+        return cls(weights=weights, acts=acts, kv_cache=kv,
+                   use_pallas=use_pallas, fuse_proj=fuse_proj)
 
     def describe(self) -> str:
         parts = []
@@ -132,4 +150,6 @@ class QuantConfig:
             # fake tier of the same formats — a config record that drops it
             # conflates the two (and parse(describe(cfg)) must round-trip)
             parts.append("pallas")
+        if self.fuse_proj:
+            parts.append("fuse")
         return ";".join(parts) or "none"

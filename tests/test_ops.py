@@ -1221,3 +1221,45 @@ def test_nf4k_model_path():
     tokens = jnp.asarray(np.arange(8, dtype=np.int32).reshape(1, 8))
     out = b.forward(b.params, b.cfg, tokens)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fuse_proj_serving_layout():
+    """``;fuse`` (QuantConfig.fuse_proj): q/k/v and gate/up concatenate into
+    one packed matmul each (llama.fuse_projections) and the fused forward is
+    BITWISE equal to the unfused packed tier — concatenation runs along N,
+    so no format's quantization grid crosses the boundary. Prefill + decode
+    + GQA; activation-quant specs are rejected at parse time."""
+    import pytest
+
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.quant import QuantConfig
+
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, 250, (2, 12)).astype(np.int32)
+    )
+    overrides = dict(hidden_size=128, intermediate_size=256,
+                     num_attention_heads=4, num_key_value_heads=2)  # GQA
+    for spec in ("w:int4g;pallas", "w:lns4;pallas", "w:w8a8;pallas"):
+        a = build_model(family="llama", preset="tiny",
+                        config_overrides=overrides,
+                        quant=QuantConfig.parse(spec))
+        f = build_model(family="llama", preset="tiny",
+                        config_overrides=overrides,
+                        quant=QuantConfig.parse(spec + ";fuse"))
+        assert "qkv_proj" in f.params["layers"][0]
+        assert "gateup_proj" in f.params["layers"][0]
+        np.testing.assert_array_equal(
+            np.asarray(a.forward(a.params, a.cfg, tokens)),
+            np.asarray(f.forward(f.params, f.cfg, tokens)),
+        )
+        cache = f.init_cache(f.cfg, 2, 24)
+        ca = a.init_cache(a.cfg, 2, 24)
+        lg_f, _ = f.forward(f.params, f.cfg, tokens, cache=cache, cache_index=0)
+        lg_a, _ = a.forward(a.params, a.cfg, tokens, cache=ca, cache_index=0)
+        np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_f))
+
+    with pytest.raises(ValueError, match="fuse"):
+        QuantConfig.parse("w:int4g;a:lns8;pallas;fuse")
+    with pytest.raises(ValueError, match="fuse"):
+        build_model(family="opt", preset="tiny",
+                    quant=QuantConfig.parse("w:int4g;pallas;fuse"))
