@@ -235,7 +235,9 @@ def _section_7b(rec):
     ]
     for tag, formats, extra in runs:
         remaining = _remaining()
-        if remaining < 240:
+        if remaining < 600:
+            # a live pass can't even produce the bf16 row in less (~12 min
+            # measured round 3: 13.5 GB host->TPU transfer + compile)
             rec[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
             continue
         cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
@@ -260,10 +262,8 @@ def _section_7b(rec):
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            fmt = r.get("format", "").replace("w:", "").replace(";pallas", "")
-            fmt = (fmt.replace("lns4", "lns4_kpair")
-                      .replace("int4g", "int4g_kpair")
-                      .replace("nf4", "nf4_kpair"))
+            fmt = r.get("format", "")
+            fmt = fmt if fmt == "bf16" else _fmt_tag(fmt)
             key = next((k for k in r if k.endswith("tokens_per_s")), None)
             if key is None:
                 continue
@@ -271,6 +271,54 @@ def _section_7b(rec):
             if "vs_bf16" in r:
                 rec[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
         _emit(rec)
+    _cached_7b_fields(rec)
+
+
+def _fmt_tag(spec: str) -> str:
+    fmt = spec.replace("w:", "").replace(";pallas", "")
+    return (fmt.replace("lns4", "lns4_kpair").replace("int4g", "int4g_kpair")
+               .replace("nf4", "nf4_kpair").replace(";fuse", "_fuse"))
+
+
+def _cached_7b_fields(rec):
+    """Surface the latest session-measured 7B rows (BENCH7B.jsonl, written by
+    scripts/bench_serving_7b.py) for formats the live pass didn't reach —
+    clearly labeled cached_* with their measurement timestamp. A live 7B
+    pass needs ~12 min for the bf16 row alone (13.5 GB host->TPU transfer),
+    which rarely fits the driver window."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH7B.jsonl")
+    if not os.path.exists(path):
+        return
+    latest = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = next((k for k in r if k.endswith("tokens_per_s")), None)
+            if kind:
+                latest[(kind, r.get("format"))] = r
+    n = 0
+    for (kind, fmtspec), r in latest.items():
+        tag = {"decode_tokens_per_s": "decode_7b",
+               "score_tokens_per_s": "score_7b",
+               "batcher_tokens_per_s": "batcher_7b"}.get(kind)
+        if tag is None or fmtspec is None:
+            continue
+        fmt = "bf16" if fmtspec == "bf16" else _fmt_tag(fmtspec)
+        if f"{tag}_{fmt}_tokens_per_s" in rec:
+            continue  # live row wins
+        rec[f"cached_{tag}_{fmt}_tokens_per_s"] = r[kind]
+        if "vs_bf16" in r:
+            rec[f"cached_{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
+        n += 1
+        rec["cached_7b_ts"] = max(rec.get("cached_7b_ts", 0), r.get("ts", 0))
+    if n:
+        rec["cached_7b_note"] = (
+            "rows measured by an earlier bench_serving_7b session on this "
+            "chip (unix ts above), not by this bench run")
 
 
 def _real_checkpoint_fields(rec):
@@ -341,6 +389,8 @@ def main():
         except Exception as e:  # salvage everything measured so far
             rec[f"error_{name}"] = f"{type(e).__name__}: {e}"[:300]
         _emit(rec)
+    _cached_7b_fields(rec)  # no-op for formats with live rows; no TPU cost
+    _emit(rec)
 
 
 if __name__ == "__main__":

@@ -24,19 +24,35 @@ sys.path.insert(0, "/root/repo")
 from bench import _decode_fn, _decode_throughput, _score_fn, _throughput  # noqa: E402
 
 
-def _host_params(cfg, llama):
+def _host_params(cfg, llama, cache_dir="/root/repo/.cache/host_params_7b"):
+    """Random 7B host params, disk-cached: the numpy fill takes ~400 s on
+    these 2 vCPUs (measured round 3), which alone starved the in-bench 7B
+    subprocess of its budget — a warm cache loads as memmaps in seconds."""
     import ml_dtypes
 
     shapes = jax.eval_shape(
         lambda k: llama.init_params(k, cfg), jax.random.PRNGKey(0)
     )
+    flat, treedef = jax.tree_util.tree_flatten(shapes)
+    os.makedirs(cache_dir, exist_ok=True)
+    stamp = os.path.join(cache_dir, f"complete_{len(flat)}")
+    if os.path.exists(stamp):
+        # stored as uint16 bit patterns: np.save/np.load round-trip of the
+        # ml_dtypes extension dtype is not guaranteed across processes
+        leaves = [np.load(os.path.join(cache_dir, f"leaf_{i}.npy"),
+                          mmap_mode="r").view(ml_dtypes.bfloat16)
+                  for i in range(len(flat))]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
     rng = np.random.default_rng(0)
-
-    def fill(s):
-        a = rng.standard_normal(s.shape, dtype=np.float32) * 0.02
-        return a.astype(ml_dtypes.bfloat16)
-
-    return jax.tree_util.tree_map(fill, shapes)
+    leaves = []
+    for i, s in enumerate(flat):
+        a = (rng.standard_normal(s.shape, dtype=np.float32) * 0.02).astype(
+            ml_dtypes.bfloat16)
+        np.save(os.path.join(cache_dir, f"leaf_{i}.npy"), a.view(np.uint16))
+        leaves.append(a)
+    with open(stamp, "w") as f:
+        f.write("ok")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def main():
@@ -120,6 +136,17 @@ def main():
     key = ("batcher_tokens_per_s" if args.batcher
            else "score_tokens_per_s" if args.score
            else "decode_tokens_per_s")
+
+    def record(rec):
+        print(json.dumps(rec), flush=True)
+        # persist for bench.py's cached-7B surfacing: a driver bench window
+        # too short for a live 7B pass (~12 min for the bf16 row alone)
+        # still reports the latest session-measured rows, marked cached
+        try:
+            with open("/root/repo/BENCH7B.jsonl", "a") as f:
+                f.write(json.dumps({"ts": int(time.time()), **rec}) + "\n")
+        except OSError:
+            pass
     base_tps = None
     if not args.skip_bf16:
         t0 = time.time()
@@ -129,8 +156,8 @@ def main():
         jax.block_until_ready(dev_params)
         b = bundle_with(dev_params)
         base_tps = measure(b, QuantConfig())
-        print(json.dumps({"format": "bf16", key: round(base_tps, 1),
-                          "t_wall_s": round(time.time() - t0, 1)}), flush=True)
+        record({"format": "bf16", key: round(base_tps, 1),
+                "t_wall_s": round(time.time() - t0, 1)})
         del dev_params, b
         gc.collect()
 
@@ -138,7 +165,8 @@ def main():
         t0 = time.time()
         quant = QuantConfig.parse(spec)
         # packing runs on the TPU, one host leaf at a time
-        qparams = quantize_weights(host, quant)
+        src = llama.fuse_projections(host) if quant.fuse_proj else host
+        qparams = quantize_weights(src, quant)
         qparams = jax.device_put(qparams, tpu)  # move remaining host leaves
         jax.block_until_ready(qparams)
         audit = packed_leaf_report(qparams)
@@ -152,7 +180,7 @@ def main():
             rec["vs_bf16"] = round(q_tps / base_tps, 4)
         rec.update({f"packed_{k}": v for k, v in audit.items()
                     if k.endswith("leaves")})
-        print(json.dumps(rec), flush=True)
+        record(rec)
 
 
 if __name__ == "__main__":

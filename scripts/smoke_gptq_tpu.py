@@ -1,0 +1,150 @@
+"""GPTQ -> int4gk -> TPU eval smoke (VERDICT r2 item #8).
+
+Synthesizes an AutoGPTQ-format llama checkpoint (the construction
+tests/test_hf_parity.py::test_gptq_checkpoint_loads_and_matches_dequant
+pins against transformers), loads it through the production path with
+``w:int4g;pallas`` — hf_loader dequantizes the GPTQ codes
+(models/hf_loader.py:_dequantize_gptq), quantize_weights re-packs onto the
+kpair int4gk tier — and drives a real eval through the harness on the TPU.
+Asserts the packed tier actually engaged (Int4GroupKWeight leaves, zero
+fallback) and that int4gk logits match the dequantized-checkpoint logits to
+re-quantization tolerance. Capability matched: AutoGPTQ serving,
+reference huggingface.py:1859-1874.
+
+Usage: python scripts/smoke_gptq_tpu.py  (one TPU session; logs one JSON line)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_gptq_checkpoint(path, hidden=256, inter=512, layers=2, vocab=256,
+                          group_size=128, seed=5):
+    """AutoGPTQ v1 on-disk format with known codes (group 128 = the standard
+    published-checkpoint group, which the adaptive int4gk packer re-packs
+    losslessly)."""
+    import transformers
+    from safetensors.numpy import save_file
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=128,
+        tie_word_embeddings=False, attention_dropout=0.0,
+    )
+    import torch
+
+    torch.manual_seed(seed)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy().copy() for k, v in model.state_dict().items()}
+
+    bits = 4
+    pack = 32 // bits
+    rng = np.random.default_rng(seed)
+    packed_sd = {}
+    for name, w in sd.items():
+        if name.endswith(".weight") and (
+            "self_attn" in name or "mlp" in name
+        ) and "norm" not in name:
+            base = name[: -len(".weight")]
+            out_f, in_f = w.shape
+            groups = in_f // group_size
+            codes = rng.integers(0, 16, (in_f, out_f)).astype(np.int64)
+            zeros = rng.integers(1, 15, (groups, out_f)).astype(np.int64)
+            scales = (rng.random((groups, out_f)).astype(np.float32) + 0.5) * 0.02
+            g_idx = (np.arange(in_f) // group_size).astype(np.int32)
+            qweight = np.zeros((in_f // pack, out_f), np.int64)
+            for i in range(in_f // pack):
+                for p in range(pack):
+                    qweight[i] |= codes[i * pack + p] << (bits * p)
+            qz = zeros - 1
+            qzeros = np.zeros((groups, out_f // pack), np.int64)
+            for j in range(out_f // pack):
+                for p in range(pack):
+                    qzeros[:, j] |= qz[:, j * pack + p] << (bits * p)
+            packed_sd[base + ".qweight"] = qweight.astype(np.int32)
+            packed_sd[base + ".qzeros"] = qzeros.astype(np.int32)
+            packed_sd[base + ".scales"] = scales
+            packed_sd[base + ".g_idx"] = g_idx
+        else:
+            packed_sd[name] = w
+    os.makedirs(path, exist_ok=True)
+    save_file(packed_sd, os.path.join(path, "model.safetensors"))
+    cfg.save_pretrained(path)
+    with open(os.path.join(path, "quantize_config.json"), "w") as f:
+        json.dump({"bits": bits, "group_size": group_size, "sym": False}, f)
+    return path
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from llm_lns_quantization_tpu.harness.evaluator import simple_evaluate
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.ops.packing import Int4GroupKWeight
+    from llm_lns_quantization_tpu.quant import QuantConfig
+    from llm_lns_quantization_tpu.quant.apply import packed_leaf_report
+
+    t0 = time.time()
+    ckpt = synth_gptq_checkpoint(
+        os.path.join(tempfile.gettempdir(), "gptq_smoke_ckpt"))
+
+    # 1) loader -> int4gk pack: every matmul weight must land packed
+    quant = QuantConfig.parse("w:int4g;pallas")
+    bundle = build_model(family="llama", checkpoint=ckpt,
+                         dtype=jnp.bfloat16, quant=quant)
+    rep = packed_leaf_report(bundle.params)
+    assert rep["fallback_leaves"] == 0, rep
+    assert isinstance(bundle.params["layers"][0]["q_proj"], Int4GroupKWeight)
+
+    # 2) on-TPU logit parity: packed tier vs the dequantized checkpoint
+    ref = build_model(family="llama", checkpoint=ckpt, dtype=jnp.bfloat16)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(1, 200, (2, 16)).astype(np.int32))
+    lq = jax.device_get(bundle.forward(bundle.params, bundle.cfg, toks))
+    lr = jax.device_get(ref.forward(ref.params, ref.cfg, toks))
+    err = float(np.max(np.abs(np.asarray(lq, np.float32)
+                              - np.asarray(lr, np.float32))))
+    # bf16 matmul noise only: the re-pack grid is the checkpoint's own grid
+    assert err < 0.15, err
+
+    # 3) the real harness eval path on the TPU (piqa fixture docs)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from fixtures import FIXTURE_DOCS
+
+    ddir = os.path.join(tempfile.gettempdir(), "gptq_smoke_taskdata")
+    os.makedirs(os.path.join(ddir, "piqa"), exist_ok=True)
+    for split, docs in FIXTURE_DOCS["piqa"].items():
+        with open(os.path.join(ddir, "piqa", f"{split}.json"), "w") as f:
+            json.dump(docs, f)
+    out = simple_evaluate(
+        model="tpu",
+        model_args=f"family=llama,pretrained={ckpt},tokenizer=byte,"
+                   "dtype=bfloat16,batch_size=2",
+        tasks=["piqa"], num_fewshot=0, no_cache=True, bootstrap_iters=0,
+        quant="w:int4g;pallas", data_dir=ddir,
+    )
+    acc = out["results"]["piqa"]["acc"]
+    print(json.dumps({
+        "smoke": "gptq->int4gk->tpu_eval", "ok": True,
+        "packed_leaves": rep["packed_leaves"],
+        "max_abs_logit_err_vs_dequant": round(err, 5),
+        "piqa_acc": acc,
+        "device": str(jax.devices()[0]),
+        "t_wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
