@@ -13,6 +13,7 @@ packed-size + one bf16 leaf). Batch-8 greedy KV-cache decode after a
 import argparse
 import gc
 import json
+import os
 import sys
 import time
 
