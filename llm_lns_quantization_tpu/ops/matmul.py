@@ -650,18 +650,40 @@ def _kpair_split(x):
     return xr[:, :, 0], xr[:, :, 1]
 
 
-def _xla_kpair_dot(x, packed, nib_decode, b2d, out_dtype):
-    """XLA fallback for kpair weights: two dots, each with the nibble decode
-    fused into its operand read (same 1 B/elem ceiling as the halves layout,
-    but summing partials instead of concatenating output halves)."""
+# Above ~this many decoded elements per nibble plane, XLA stops fusing the
+# decode into the dot operand read and materializes the full bf16 plane to
+# HBM — measured in-model at 7B decode: int4gk 0.33x bf16 (vs 1.09x at
+# 1.5B, whose largest plane is 5.1M elems and fuses fine). Chunking the
+# contraction keeps each decode below the threshold so it stays fused; the
+# extra dots are negligible at decode M. 6M elems = 12 MB bf16.
+_KPAIR_XLA_CHUNK_ELEMS = _env_int("LLMQ_KPAIR_XLA_CHUNK_ELEMS", 6 << 20)
+
+
+def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
+    """Packed rows per chunk: full K2 when the plane is already small,
+    otherwise the largest multiple of ``align`` under the fusion budget."""
+    if K2 * N <= _KPAIR_XLA_CHUNK_ELEMS:
+        return K2
+    return min(K2, max(align, _KPAIR_XLA_CHUNK_ELEMS // N // align * align))
+
+
+def _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=8):
+    """XLA fallback for kpair weights: per-K-chunk dot pairs, each with the
+    nibble decode fused into its operand read (same 1 B/elem ceiling as the
+    halves layout, but summing partials instead of concatenating output
+    halves). ``plane(nib, s)`` decodes a nibble chunk whose first packed row
+    is ``s`` (formats with per-K-group side bands slice them by ``s``)."""
     xe, xo = _kpair_split(x)
-    u = packed.astype(jnp.int32)
-    y = (
-        jnp.dot(xe, nib_decode(u & 0xF), preferred_element_type=jnp.float32)
-        + jnp.dot(xo, nib_decode((u >> 4) & 0xF),
-                  preferred_element_type=jnp.float32)
-    )
-    return (y + b2d).astype(out_dtype)
+    K2, N = packed.shape
+    rows = _kpair_chunk_rows(K2, N, align)
+    y = jnp.broadcast_to(b2d, (x.shape[0], N)).astype(jnp.float32)
+    for s in range(0, K2, rows):
+        u = packed[s:s + rows].astype(jnp.int32)
+        y = y + jnp.dot(xe[:, s:s + rows], plane(u & 0xF, s),
+                        preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xo[:, s:s + rows], plane((u >> 4) & 0xF, s),
+                        preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _kpair_matmul_kernel(xe_ref, xo_ref, w_ref, b_ref, o_ref, lo_ref, hi_ref,
@@ -690,7 +712,8 @@ def _kpair_matmul(x, packed, nib_decode, block_m, block_n, out_dtype, bias):
     b2d = _bias2d(bias, N)
     if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
-        return _xla_kpair_dot(x, packed, nib_decode, b2d, out_dtype)
+        return _xla_kpair_dot(x, packed, lambda u, s: nib_decode(u),
+                              b2d, out_dtype)
     block_m = min(block_m, M)
     block_n = min(block_n, N)
 
@@ -794,15 +817,11 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
     b2d = _bias2d(bias, N)
     if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
-        xe, xo = _kpair_split(x)
-        u = packed.astype(jnp.int32)
-        y = (
-            jnp.dot(xe, _int4gk_plane(u & 0xF, scale, zero, rpg),
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(xo, _int4gk_plane((u >> 4) & 0xF, scale, zero, rpg),
-                      preferred_element_type=jnp.float32)
-        )
-        return (y + b2d).astype(out_dtype)
+        def plane(nib, s):
+            g0, g1 = s // rpg, s // rpg + nib.shape[0] // rpg
+            return _int4gk_plane(nib, scale[g0:g1], zero[g0:g1], rpg)
+
+        return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpg)
     block_m = min(block_m, M)
     block_n = min(block_n, N)
     G = K // group_size
@@ -889,15 +908,11 @@ def nf4k_matmul(x, packed, bscale, block_size=64, block_m=None,
     b2d = _bias2d(bias, N)
     if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
-        xe, xo = _kpair_split(x)
-        u = packed.astype(jnp.int32)
-        y = (
-            jnp.dot(xe, _nf4k_plane(u & 0xF, bscale, rpb),
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(xo, _nf4k_plane((u >> 4) & 0xF, bscale, rpb),
-                      preferred_element_type=jnp.float32)
-        )
-        return (y + b2d).astype(out_dtype)
+        def plane(nib, s):
+            b0, b1 = s // rpb, s // rpb + nib.shape[0] // rpb
+            return _nf4k_plane(nib, bscale[b0:b1], rpb)
+
+        return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpb)
     block_m = min(block_m, M)
     block_n = min(block_n, N)
     B = K // block_size
