@@ -642,6 +642,18 @@ def _env_int(name: str, default: int) -> int:
 
 
 _KPAIR_FUSED_MIN_WEIGHT = _env_int("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
+# int4gk gets its own production threshold: its affine band broadcast is the
+# one kpair decode XLA refuses to fuse at 7B plane sizes (0.33x bf16
+# in-model), while its in-kernel decode (upcast-mul-add) is the cheapest of
+# the nibble formats — the fused Mosaic kernel measures 1.20x bf16 at 7B
+# decode (433 tok/s, round 3), the best 4-bit decode in the repo. 12M elems
+# sits between GPT-2 XL's largest matmul (10.2M, where XLA-everywhere
+# measures 1.088x) and Llama-7B's smallest (16.8M), so 1.5B-class models
+# keep the measured XLA dispatch and 7B-class get the kernel. lns4k/fp4k/
+# nf4k keep XLA (lns4k fused 0.805x < XLA 0.864x at 7B: their bit-assembly/
+# LUT decodes are too expensive inside the kernel's serialized tile loop).
+_INT4GK_FUSED_MIN_WEIGHT = _env_int("LLMQ_INT4GK_FUSED_MIN_WEIGHT",
+                                    12_000_000)
 
 
 def _kpair_split(x):
@@ -815,7 +827,7 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
     rpg = group_size // 2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+    if (M >= _XLA_DOT_MIN_M or K * N < _INT4GK_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
         def plane(nib, s):
             g0, g1 = s // rpg, s // rpg + nib.shape[0] // rpg

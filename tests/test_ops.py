@@ -1263,3 +1263,29 @@ def test_fuse_proj_serving_layout():
     with pytest.raises(ValueError, match="fuse"):
         build_model(family="opt", preset="tiny",
                     quant=QuantConfig.parse("w:int4g;pallas;fuse"))
+
+
+def test_int4gk_dispatch_policy():
+    """int4gk production dispatch (round 3): XLA's fusion of the affine band
+    broadcast breaks at 7B plane sizes (0.33x bf16 in-model) while the fused
+    Mosaic kernel measures 1.20x — so decode-M calls at 7B-class K*N take
+    the kernel, while 1.5B-class shapes and the score regime keep the
+    measured XLA dispatch. The 12M-element default threshold sits between
+    GPT-2 XL's largest matmul (10.2M) and Llama-7B's smallest (16.8M)."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_int4gk
+
+    w7b = pack_int4gk(jnp.asarray(rand((4096, 4096), seed=65, scale=0.02)))
+    wxl = pack_int4gk(jnp.asarray(rand((3200, 1600), seed=66, scale=0.02)))
+
+    def has_pallas(x, q):
+        jaxpr = jax.make_jaxpr(
+            lambda a, p, s, z: qmm.int4gk_matmul(a, p, s, z)
+        )(x, q.packed, q.scale, q.zero)
+        return "pallas_call" in str(jaxpr)
+
+    x7 = jnp.zeros((8, 4096), jnp.bfloat16)
+    assert has_pallas(x7, w7b)                      # 7B decode: fused kernel
+    assert not has_pallas(jnp.zeros((2048, 4096), jnp.bfloat16), w7b)  # score
+    assert not has_pallas(jnp.zeros((8, 3200), jnp.bfloat16), wxl)  # 1.5B: XLA
+    jax.clear_caches()
