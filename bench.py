@@ -338,10 +338,14 @@ def _real_checkpoint_fields(rec):
                 rows[r["label"]] = r
             except (json.JSONDecodeError, KeyError):
                 continue
-    base = rows.get("bf16 baseline")
+    base = rows.get("bf16 baseline") or rows.get("baseline")
     if not base:
         return
     rec["real_ckpt_bf16_bits_per_byte"] = round(base["bits_per_byte"], 4)
+    if "bits_per_byte_stderr" in base:
+        rec["real_ckpt_bf16_bpb_stderr"] = round(
+            base["bits_per_byte_stderr"], 4)
+        rec["real_ckpt_eval_docs"] = base.get("stderr_docs")
     for label, key in [("w:lns8", "real_ckpt_lns8_delta_bpb"),
                        ("w:w8a8", "real_ckpt_w8a8_delta_bpb"),
                        ("w:int4g", "real_ckpt_int4g_delta_bpb"),

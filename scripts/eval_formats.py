@@ -132,7 +132,33 @@ def _bootstrap_ppl_stderr(out_dir, task_name, iters=10000, seed=17):
             # bits_per_byte = log2(byte_perplexity)
             out["bits_per_byte_stderr"] = float(np.std(np.log2(agg)))
     out["stderr_docs"] = len(pairs["byte_perplexity"])
+    # per-doc (ll, bytes) pairs ride the jsonl record so Δ-vs-baseline gets
+    # a PAIRED bootstrap (same docs across formats => the marginal stderr
+    # wildly overstates the uncertainty of the difference)
+    bp = pairs["byte_perplexity"]
+    out["doc_ll"] = [round(v[0], 4) for v in bp]
+    out["doc_bytes"] = [int(v[1]) for v in bp]
     return out
+
+
+def paired_delta_bpb_stderr(rec_a, rec_b, iters=10000, seed=23):
+    """Bootstrap stderr of (bits_per_byte_a - bits_per_byte_b) resampling
+    DOCUMENTS jointly — both formats scored the same docs, so the per-doc
+    lls are highly correlated and the paired stderr is far tighter than the
+    marginal ones."""
+    import numpy as np
+
+    la = np.asarray(rec_a["doc_ll"])
+    lb = np.asarray(rec_b["doc_ll"])
+    w = np.asarray(rec_a["doc_bytes"], float)
+    n = len(la)
+    if len(lb) != n:
+        return None
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(iters, n))
+    ws = w[idx].sum(axis=1)
+    d = (-la[idx].sum(axis=1) / ws + lb[idx].sum(axis=1) / ws) / np.log(2.0)
+    return float(np.std(d))
 
 
 def main(argv=None):
@@ -200,7 +226,8 @@ def main(argv=None):
                "bits_per_byte": res["bits_per_byte"],
                "seconds": round(time.time() - t0, 1)}
         for k in ("word_perplexity_stderr", "byte_perplexity_stderr",
-                  "bits_per_byte_stderr", "stderr_docs"):
+                  "bits_per_byte_stderr", "stderr_docs", "doc_ll",
+                  "doc_bytes"):
             if k in res:
                 rec[k] = res[k]
         done[label] = rec
