@@ -266,6 +266,10 @@ class ActQuantizer:
             return x
         if site == "embed" and not self.config.quantize_embedding_acts:
             return x
+        if site in self.config.skip_act_sites:
+            # opt-out per site (askip:...): e.g. dropping lm_head recovers
+            # 22 points of emulation throughput (BASELINE.md round 3)
+            return x
         return self._fn(x)
 
     @property

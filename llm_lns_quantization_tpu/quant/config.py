@@ -72,6 +72,12 @@ class QuantConfig:
     skip_weight_patterns: tuple = ("norm", "ln_", "layernorm")
     quantize_embedding_acts: bool = True
     use_pallas: bool = False  # route matmuls through fused Pallas kernels
+    # activation-quant sites to leave unquantized (exact site names from the
+    # model's QUANT_SITES). Motivated by the fake-quant tax attribution
+    # (BASELINE.md round 3): the lm_head site quantizes the [B, T, vocab]
+    # logits — ~40% of all activation elements — and alone costs 22 points
+    # of emulation throughput (0.63x -> 0.85x bf16 without it).
+    skip_act_sites: tuple = ()
     # serve with q/k/v (and gate/up) packed as ONE concatenated weight each:
     # 7 matmul dispatches per llama block become 4, and the shared x is read
     # once per fused group — the decode regime's fixed per-dispatch cost was
@@ -106,6 +112,7 @@ class QuantConfig:
         weights = acts = kv = None
         use_pallas = False
         fuse_proj = False
+        skip_sites = ()
         for part in spec.split(";"):
             part = part.strip()
             if not part:
@@ -114,6 +121,9 @@ class QuantConfig:
                 use_pallas = True
             elif part == "fuse":
                 fuse_proj = True
+            elif part.startswith("askip:"):
+                skip_sites = tuple(
+                    s for s in part[6:].split("|") if s)
             elif part.startswith("w:"):
                 weights = part[2:]
             elif part.startswith("a:"):
@@ -135,7 +145,8 @@ class QuantConfig:
                 "sites into one matmul each, changing activation-quant "
                 "semantics; use fuse only with weight-only specs")
         return cls(weights=weights, acts=acts, kv_cache=kv,
-                   use_pallas=use_pallas, fuse_proj=fuse_proj)
+                   use_pallas=use_pallas, fuse_proj=fuse_proj,
+                   skip_act_sites=skip_sites)
 
     def describe(self) -> str:
         parts = []
@@ -152,4 +163,6 @@ class QuantConfig:
             parts.append("pallas")
         if self.fuse_proj:
             parts.append("fuse")
+        if self.skip_act_sites:
+            parts.append("askip:" + "|".join(self.skip_act_sites))
         return ";".join(parts) or "none"

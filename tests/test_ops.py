@@ -1289,3 +1289,20 @@ def test_int4gk_dispatch_policy():
     assert not has_pallas(jnp.zeros((2048, 4096), jnp.bfloat16), w7b)  # score
     assert not has_pallas(jnp.zeros((8, 3200), jnp.bfloat16), wxl)  # 1.5B: XLA
     jax.clear_caches()
+
+
+def test_askip_site_opt_out():
+    """``askip:site1|site2`` leaves named activation sites unquantized
+    (round-3 knob: the lm_head site alone is 22 points of emulation
+    throughput, BASELINE.md fake-quant attribution). Round-trips through
+    describe()."""
+    from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
+
+    cfg = QuantConfig.parse("a:lns8;askip:lm_head|attn_qkv")
+    assert cfg.skip_act_sites == ("lm_head", "attn_qkv")
+    assert QuantConfig.parse(cfg.describe()) == cfg
+    actq = ActQuantizer(cfg)
+    x = jnp.asarray(rand((4, 8), seed=70))
+    np.testing.assert_array_equal(np.asarray(actq("lm_head", x)),
+                                  np.asarray(x))
+    assert not np.array_equal(np.asarray(actq("mlp_fc", x)), np.asarray(x))
