@@ -235,9 +235,11 @@ def _section_7b(rec):
     ]
     for tag, formats, extra in runs:
         remaining = _remaining()
-        if remaining < 600:
-            # a live pass can't even produce the bf16 row in less (~12 min
-            # measured round 3: 13.5 GB host->TPU transfer + compile)
+        if remaining < 1100:
+            # a live pass needs ~12 min for the bf16 row alone (13.5 GB
+            # host->TPU transfer + compile; measured round 3) — with less
+            # than ~18 min a live attempt produces nothing and just burns
+            # the driver window, so skip it and surface the cached rows
             rec[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
             continue
         cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
