@@ -300,8 +300,15 @@ def _cached_7b_fields(rec):
             except json.JSONDecodeError:
                 continue
             kind = next((k for k in r if k.endswith("tokens_per_s")), None)
-            if kind:
-                latest[(kind, r.get("format"))] = r
+            if kind is None:
+                continue
+            prev = latest.get((kind, r.get("format")))
+            # newest row wins, except a default-dispatch row always beats an
+            # env-override (forced-path) experiment row
+            if (prev is not None and "env_overrides" not in prev
+                    and "env_overrides" in r):
+                continue
+            latest[(kind, r.get("format"))] = r
     n = 0
     for (kind, fmtspec), r in latest.items():
         tag = {"decode_tokens_per_s": "decode_7b",

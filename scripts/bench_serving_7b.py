@@ -139,6 +139,12 @@ def main():
            else "decode_tokens_per_s")
 
     def record(rec):
+        # dispatch-policy env overrides make a row non-representative of the
+        # production defaults; record them so bench.py's cached-7B surfacing
+        # can prefer default-dispatch rows
+        ov = {k: v for k, v in os.environ.items() if k.startswith("LLMQ_")}
+        if ov:
+            rec["env_overrides"] = ov
         print(json.dumps(rec), flush=True)
         # persist for bench.py's cached-7B surfacing: a driver bench window
         # too short for a live 7B pass (~12 min for the bf16 row alone)
