@@ -385,6 +385,10 @@ def main():
         "device": str(jax.devices()[0]),
     }
     _real_checkpoint_fields(rec)
+    # cached 7B rows ride along from the FIRST emitted record (no TPU cost):
+    # an outer timeout tighter than the internal budget must not lose them —
+    # live 7B rows, if any, land under their own (non-cached_) keys later
+    _cached_7b_fields(rec)
     # section gates: minimum seconds of budget left to even start a section
     # (warm-cache costs; a cold cache blows through these and later sections
     # record themselves skipped instead of losing the whole artifact)
