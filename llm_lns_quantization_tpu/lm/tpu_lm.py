@@ -97,6 +97,7 @@ class TPULM(LM):
         peft: Optional[str] = None,
         mesh=None,
         shard: bool = False,
+        score_chunk: Optional[int] = None,
     ):
         super().__init__()
         del device  # device placement is XLA's job; kept for CLI compat
@@ -150,6 +151,15 @@ class TPULM(LM):
 
             self._params = shard_params(self._params, self.bundle, mesh)
 
+        # score_chunk: route SCORING through the KV cache in fixed-size
+        # chunks (prefill-style). The cache is write-then-read
+        # (models/layers.py update_kv_cache dequantizes fresh K/V from the
+        # just-updated cache), so with ``kv:int8``/``kv:fp8`` configured this
+        # measures the cache quantization's ACCURACY cost with exact decode
+        # semantics at any chunk size — the plain score path never touches
+        # the cache and cannot see kv: at all (BASELINE config #3's
+        # "W8A8 + INT8 KV cache" accuracy spec).
+        self._score_chunk = int(score_chunk) if score_chunk else None
         self._score_jit = jax.jit(
             functools.partial(self._score_step, self.bundle.cfg)
         )
@@ -191,7 +201,10 @@ class TPULM(LM):
         tokens/targets/cont_mask: [B, S]; positions where cont_mask is set
         must predict ``targets``. Everything stays on device.
         """
-        logits = self.bundle.forward(params, cfg, tokens, self.actq)
+        if self._score_chunk:
+            logits = self._cache_scored_logits(params, cfg, tokens)
+        else:
+            logits = self.bundle.forward(params, cfg, tokens, self.actq)
         logits = logits.astype(jnp.float32)
         logz = jax.nn.logsumexp(logits, axis=-1)
         tgt_logit = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
@@ -202,6 +215,37 @@ class TPULM(LM):
             jnp.where(cont_mask, greedy_tok == targets, True), axis=-1
         )
         return ll, is_greedy
+
+    def _cache_scored_logits(self, params, cfg, tokens):
+        """Full-sequence logits computed chunkwise THROUGH the KV cache.
+
+        ``lax.scan`` over ``score_chunk``-token chunks: each chunk's K/V are
+        written to (and read back from) the decode cache, so every
+        cross-token attention — including a chunk's own, via write-then-read
+        — sees the cache-quantized keys/values when ``kv:`` is configured.
+        With a plain bf16 cache this is numerically the standard forward up
+        to attention-masking arithmetic (regression-tested equal)."""
+        B, S = tokens.shape
+        C = self._score_chunk
+        n = -(-S // C)
+        Spad = n * C
+        toks = jnp.pad(tokens, ((0, 0), (0, Spad - S)))
+        cache = self.bundle.init_cache(
+            cfg, B, Spad, kv_quant=self.quant_config.kv_cache or False
+        )
+        chunks = toks.reshape(B, n, C).transpose(1, 0, 2)  # [n, B, C]
+        offsets = jnp.arange(n, dtype=jnp.int32) * C
+
+        def body(cache, x):
+            chunk, off = x
+            lg, cache = self.bundle.forward(
+                params, cfg, chunk, self.actq, cache=cache, cache_index=off
+            )
+            return cache, lg
+
+        _, lgs = jax.lax.scan(body, cache, (chunks, offsets))
+        # [n, B, C, V] -> [B, S, V]
+        return lgs.transpose(1, 0, 2, 3).reshape(B, Spad, -1)[:, :S]
 
     def _encode_pair(self, context: str, continuation: str):
         # trailing-space fixup: a word-boundary space belongs to the

@@ -86,6 +86,16 @@ def build_model(
 
         params = merge_lora(params, family, peft)
 
+    if quant is not None and quant.skip_act_sites:
+        # a typo'd askip: site (e.g. 'askip:lmhead') would silently leave the
+        # intended site quantized and benchmark a different config than
+        # labeled (ADVICE.md r3)
+        unknown = set(quant.skip_act_sites) - set(mod.QUANT_SITES)
+        if unknown:
+            raise ValueError(
+                f"askip: names {sorted(unknown)} are not activation-quant "
+                f"sites of family {family!r}; QUANT_SITES = "
+                f"{sorted(mod.QUANT_SITES)}")
     if quant is not None and quant.fuse_proj:
         fuse = getattr(mod, "fuse_projections", None)
         if fuse is None:

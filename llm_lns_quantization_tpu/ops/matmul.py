@@ -673,9 +673,23 @@ _KPAIR_XLA_CHUNK_ELEMS = _env_int("LLMQ_KPAIR_XLA_CHUNK_ELEMS", 6 << 20)
 
 def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
     """Packed rows per chunk: full K2 when the plane is already small,
-    otherwise the largest multiple of ``align`` under the fusion budget."""
+    otherwise the largest multiple of ``align`` under the fusion budget.
+
+    Bound (ADVICE.md r3): when ``align * N`` itself exceeds the budget the
+    chunk floor is one band group, so each chunk's decoded plane is
+    ``align * N`` elements and the anti-materialization guarantee weakens to
+    that size. With the production band granularities (align <= 64 packed
+    rows) that needs N > ~98k — an order of magnitude beyond any _PACKABLE
+    weight (widest today: 70B gateup 57344) — so warn rather than fail."""
     if K2 * N <= _KPAIR_XLA_CHUNK_ELEMS:
         return K2
+    if align * N > _KPAIR_XLA_CHUNK_ELEMS:
+        import warnings
+
+        warnings.warn(
+            f"kpair chunk floor align={align} x N={N} exceeds the "
+            f"{_KPAIR_XLA_CHUNK_ELEMS}-element fusion budget; decode "
+            "materialization may recur on this layer")
     return min(K2, max(align, _KPAIR_XLA_CHUNK_ELEMS // N // align * align))
 
 

@@ -67,6 +67,12 @@ _RULES = {
         # equal to single-device for the whole packed tier).
         (r"embed$", P(AXIS_MODEL, None)),
         (r"lm_head$", P(None, AXIS_MODEL)),
+        # fused serving layouts (llama.fuse_projections) get explicit rules:
+        # they used to shard only via the coincidental 'v_proj'/'up_proj'
+        # suffix matches below, which any rule anchoring would silently break
+        # (ADVICE.md r3)
+        (r"qkv_proj$", P(None, AXIS_MODEL)),
+        (r"gateup_proj$", P(None, AXIS_MODEL)),
         (r"[qkv]_proj$", P(None, AXIS_MODEL)),
         (r"o_proj$", P(AXIS_MODEL, None)),
         (r"(gate|up)_proj$", P(None, AXIS_MODEL)),

@@ -55,6 +55,8 @@ _PACKABLE = (
     "c_attn_w", "c_proj_w", "c_fc_w",                      # gpt2
     "q_proj", "k_proj", "v_proj", "o_proj",                # llama
     "gate_proj", "up_proj", "down_proj",
+    "qkv_proj", "gateup_proj",  # llama fused serving layout (explicit, not
+                                # just the v_proj/up_proj suffix coincidence)
     "out_proj/w", "fc1/w", "fc2/w",                        # opt
     "/q", "/k", "/v", "/o", "/cq", "/ck", "/cv", "/co",    # t5 attention
     "/wi", "/wi_0", "/wi_1", "/wo",                        # t5 ffn

@@ -68,6 +68,14 @@ def run_one(pretrained, family, dtype, task_name, spec, limit, batch_size,
     from llm_lns_quantization_tpu.harness.evaluator import simple_evaluate
 
     margs = f"family={family},pretrained={pretrained},tokenizer={pretrained},dtype={dtype},batch_size={batch_size}"
+    # ';cscore' pseudo-flag (sweep-local, not a QuantConfig field): route
+    # scoring through the KV cache in 64-token chunks (TPULM score_chunk) so
+    # kv:int8/kv:fp8 specs measure the cache quantization's accuracy cost;
+    # 'cscore' alone is the same-path bf16 baseline those rows pair against
+    if spec and "cscore" in spec:
+        parts = [p for p in spec.split(";") if p and p != "cscore"]
+        spec = ";".join(parts) or None
+        margs += ",score_chunk=64"
     if spec:
         margs += f",quant={spec}"
     kwargs = {}

@@ -50,12 +50,13 @@ def main():
 
     ref_bytes = None
     for rec, d in zip(recs, dirs):
-        if "doc_ll" in rec:
-            continue
-        pairs = extract_pairs(d)
-        assert pairs, d
-        rec["doc_ll"] = [round(p[0], 4) for p in pairs]
-        rec["doc_bytes"] = [int(p[1]) for p in pairs]
+        if "doc_ll" not in rec:
+            pairs = extract_pairs(d)
+            assert pairs, d
+            rec["doc_ll"] = [round(p[0], 4) for p in pairs]
+            rec["doc_bytes"] = [int(p[1]) for p in pairs]
+        # validate pre-populated records too: a record carrying doc_ll from a
+        # different doc set would silently yield se=None below (ADVICE.md r3)
         if ref_bytes is None:
             ref_bytes = rec["doc_bytes"]
         else:
@@ -74,8 +75,9 @@ def main():
         d = rec["bits_per_byte"] - base["bits_per_byte"]
         rec["delta_bpb_vs_baseline"] = round(d, 6)
         rec["delta_bpb_paired_stderr"] = round(se, 6) if se else None
+        se_txt = f"{se:.4f}" if se is not None else "n/a"
         print(f"| {rec['label']} | {rec['bits_per_byte']:.4f} | "
-              f"{d:+.4f} ± {se:.4f} |")
+              f"{d:+.4f} ± {se_txt} |")
 
     with open(args.jsonl, "w") as f:
         for rec in recs:

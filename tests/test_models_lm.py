@@ -330,3 +330,32 @@ def test_eval_compile_count_budget():
     lm.loglikelihood(reqs)
     n_compiled = lm._score_jit._cache_size()
     assert n_compiled <= 6, n_compiled
+
+
+def test_cache_scored_logits_match_plain_and_see_kv_quant():
+    """score_chunk routes scoring through the KV cache (prefill-style scan).
+
+    Contract (BASELINE config #3 accuracy spec): (a) with a plain bf16 cache
+    the chunked cache path reproduces the standard forward's scores exactly
+    — including a sequence length that does NOT divide the chunk, exercising
+    the pad+slice; (b) with kv:int8 / kv:fp8 the scores shift (the cache
+    quantization is actually in the attention path — the plain score path
+    can never see kv: at all); (c) the shift is small (write-then-read
+    decode semantics, not a broken cache)."""
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(1, 250, (2, 13)).astype(np.int32))
+    tgts = jnp.asarray(rng.integers(1, 250, (2, 13)).astype(np.int32))
+    mask = jnp.ones((2, 13), bool)
+
+    def score(**kw):
+        lm = TPULM(family="llama", preset="tiny", batch_size=2, **kw)
+        ll, greedy = lm._score_jit(lm._params, toks, tgts, mask)
+        return np.asarray(jax.device_get(ll))
+
+    plain = score()
+    chunked = score(score_chunk=5)
+    np.testing.assert_array_equal(plain, chunked)
+    for kv in ("kv:int8", "kv:fp8"):
+        q = score(score_chunk=5, quant=kv)
+        assert np.any(q != plain), kv
+        np.testing.assert_allclose(q, plain, rtol=0, atol=0.5)

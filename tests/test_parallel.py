@@ -71,6 +71,51 @@ def test_partition_specs_cover_matmul_weights():
     assert flat["layers/0/input_norm"] == jax.sharding.PartitionSpec()
 
 
+def test_partition_specs_cover_fused_projections():
+    """Fused serving-layout params (qkv_proj / gateup_proj) must shard on
+    the model axis via their own explicit rules AND be _PACKABLE-eligible —
+    not just via the coincidental 'v_proj'/'up_proj' suffix matches that a
+    rule anchoring or rename would silently break (ADVICE.md r3)."""
+    from llm_lns_quantization_tpu.models import llama
+    from llm_lns_quantization_tpu.ops.packing import PACKED_WEIGHT_TYPES
+    from llm_lns_quantization_tpu.parallel.mesh import _RULES
+
+    # the explicit rules exist and precede the suffix-coincidence rules
+    pats = [p for p, _ in _RULES["llama"]]
+    assert pats.index(r"qkv_proj$") < pats.index(r"[qkv]_proj$")
+    assert pats.index(r"gateup_proj$") < pats.index(r"(gate|up)_proj$")
+
+    bundle = build_model(family="llama", preset="tiny",
+                         quant=QuantConfig.parse("w:int4g;pallas;fuse"))
+    specs = param_partition_specs(bundle.params, "llama", model_axis_size=2)
+    flat = {
+        "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    P = jax.sharding.PartitionSpec
+    assert flat["layers/0/qkv_proj/.packed"] == P(None, "model")
+    assert flat["layers/0/gateup_proj/.packed"] == P(None, "model")
+    # fused weights landed in the packed tier (not fake-quant fallback)
+    layer0 = bundle.params["layers"][0]
+    assert isinstance(layer0["qkv_proj"], PACKED_WEIGHT_TYPES)
+    assert isinstance(layer0["gateup_proj"], PACKED_WEIGHT_TYPES)
+    assert hasattr(llama, "fuse_projections")
+
+
+def test_askip_unknown_site_rejected():
+    """askip: names are validated against the family's QUANT_SITES — a typo
+    must raise instead of silently benchmarking a different config than
+    labeled (ADVICE.md r3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="askip"):
+        build_model(family="llama", preset="tiny",
+                    quant=QuantConfig.parse("a:lns8;askip:lmhead"))
+    # the real site name passes
+    build_model(family="llama", preset="tiny",
+                quant=QuantConfig.parse("a:lns8;askip:lm_head"))
+
+
 @requires_multidevice
 def test_sharded_train_step_runs_and_learns():
     mesh = make_mesh(shape=(2, 4))
