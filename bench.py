@@ -6,12 +6,14 @@ quantization (the reference's headline format) against the plain-bf16
 roofline — then the serving decode regime at 1.5B (GPT-2 XL) for the packed
 tiers, then the 7B flagship via subprocesses.
 
-Driver-proof output contract (round-3, VERDICT r2 item #1): a FULL JSON
-record is printed and flushed after EVERY completed section, each line a
-superset of the previous one — so whatever outer timeout kills the process,
-the last complete stdout line already carries every number measured so far.
-The driver parses the final JSON line; `BENCH_r02.json` came back empty
-because the old design printed once at the very end.
+Driver-proof output contract (round-4, VERDICT r3 weak #1): a COMPACT
+certifying JSON line (<= ~1,400 chars) is printed and flushed after EVERY
+completed section — the driver's tail window is exactly 2,000 chars, and
+rounds 2/3 both lost their artifact because the emitted line outgrew it
+(round 3's cumulative record hit 2.2 KB and was head-amputated). The FULL
+cumulative record is rewritten to BENCH_FULL.json at each emit instead.
+Whatever outer timeout kills the process, the last complete stdout line is
+a short parseable summary of everything measured so far.
 
 Wall-clock: reads an overall budget from $BENCH_BUDGET_S (default 1200 s,
 honoring CLAUDE.md's ~25 min promise with margin); sections that don't fit
@@ -214,66 +216,94 @@ def _section_xl(rec):
             "decode_xl1p5b_w8a8_vs_baseline"]
 
 
-def _section_7b(rec):
-    """BASELINE config #3 shape (Llama-2-7B) via scripts/bench_serving_7b.py
-    subprocesses (one per regime — the axon tunnel client leaks host RAM
-    across the ~13 GB weight transfers, so each regime gets a fresh
-    process). Budget = whatever is left of $BENCH_BUDGET_S."""
+def _run_7b_subprocess(rec, tag, formats, extra, gate, note):
+    """One bench_serving_7b.py subprocess; parse its row JSON into rec."""
     import subprocess
     import sys
 
+    remaining = _remaining()
+    if remaining < gate:
+        rec[f"skipped_{tag}"] = f"budget ({int(remaining)}s < gate {gate}s)"
+        return False
+    cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
+    stdout = ""
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=remaining,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        stdout = res.stdout
+        if res.returncode != 0:
+            rec[f"skipped_{tag}_{note}"] = (res.stdout + res.stderr)[-300:]
+    except subprocess.TimeoutExpired as e:
+        # keep any rows that finished before the budget kill
+        stdout = (e.stdout or b"")
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        rec[f"partial_{tag}"] = f"timeout after {int(remaining)}s"
+    got = False
+    for line in stdout.splitlines():
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        fmt = r.get("format", "")
+        fmt = fmt if fmt == "bf16" else _fmt_tag(fmt)
+        key = next((k for k in r if k.endswith("tokens_per_s")), None)
+        if key is None:
+            continue
+        rec[f"{tag}_{fmt}_tokens_per_s"] = r[key]
+        got = True
+        if "vs_bf16" in r:
+            rec[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
+        for ak in ("packed_packed_leaves", "packed_fallback_leaves"):
+            if ak in r:
+                rec[f"{tag}_{fmt}_{ak[7:]}"] = r[ak]
+    return got
+
+
+def _section_7b(rec):
+    """BASELINE config #3 shape (Llama-2-7B) via scripts/bench_serving_7b.py
+    subprocesses (one per regime — the axon tunnel client leaks host RAM
+    across big dispatch streams, so each regime gets a fresh process).
+
+    Round-4 design (VERDICT r3 weak #2): a LIVE minimal pair first — bf16 +
+    int4gk decode with on-TPU weight generation (--gen device), which
+    removes the 13.5 GB host->tunnel transfer that made a live 7B pass
+    structurally impossible under the 1200 s default budget. Extra formats
+    ride along only if budget remains; their vs_baseline ratios are
+    computed here against the minipass's live bf16 row."""
     if os.environ.get("BENCH_SKIP_7B"):
         rec["skipped_7b"] = "BENCH_SKIP_7B set"
         return
-    runs = [
-        # format order = salvage priority: on a timeout whatever rows the
-        # subprocess printed before the kill are still parsed below
-        ("decode_7b",
-         ["w:int4g;pallas", "w:w8a8;pallas", "w:lns4;pallas", "w:nf4;pallas"],
-         []),
-        ("score_7b", ["w:w8a8;pallas"], ["--score"]),
-    ]
-    for tag, formats, extra in runs:
-        remaining = _remaining()
-        if remaining < 1100:
-            # a live pass needs ~12 min for the bf16 row alone (13.5 GB
-            # host->TPU transfer + compile; measured round 3) — with less
-            # than ~18 min a live attempt produces nothing and just burns
-            # the driver window, so skip it and surface the cached rows
-            rec[f"skipped_{tag}"] = "7B wall-clock budget exhausted"
+    # minipass gate: measured warm-cache cost of the on-device pair (see
+    # BENCH7B.jsonl t_wall_s for --gen device rows) plus startup margin
+    _run_7b_subprocess(rec, "decode_7b", ["w:int4g;pallas"], [],
+                       gate=_env_gate("BENCH_7B_GATE_S", 420), note="mini")
+    _emit(rec)
+    base = rec.get("decode_7b_bf16_tokens_per_s")
+    for spec in ("w:lns4;pallas", "w:nf4;pallas", "w:w8a8;pallas"):
+        tagf = _fmt_tag(spec)
+        if f"decode_7b_{tagf}_tokens_per_s" in rec:
             continue
-        cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
-        stdout = ""
-        try:
-            res = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=remaining,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            stdout = res.stdout
-            if res.returncode != 0:
-                rec[f"skipped_{tag}"] = (res.stdout + res.stderr)[-300:]
-        except subprocess.TimeoutExpired as e:
-            # keep any rows that finished before the budget kill (slow-tunnel
-            # sessions routinely lose the tail formats, not the head ones)
-            stdout = (e.stdout or b"")
-            if isinstance(stdout, bytes):
-                stdout = stdout.decode(errors="replace")
-            rec[f"partial_{tag}"] = f"timeout after {int(remaining)}s"
-        for line in stdout.splitlines():
-            try:
-                r = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            fmt = r.get("format", "")
-            fmt = fmt if fmt == "bf16" else _fmt_tag(fmt)
-            key = next((k for k in r if k.endswith("tokens_per_s")), None)
-            if key is None:
-                continue
-            rec[f"{tag}_{fmt}_tokens_per_s"] = r[key]
-            if "vs_bf16" in r:
-                rec[f"{tag}_{fmt}_vs_baseline"] = r["vs_bf16"]
+        got = _run_7b_subprocess(
+            rec, "decode_7b", [spec], ["--skip_bf16"], gate=240, note=tagf)
+        if got and base:
+            k = f"decode_7b_{tagf}_tokens_per_s"
+            if k in rec:
+                rec[k.replace("_tokens_per_s", "_vs_baseline")] = round(
+                    rec[k] / base, 4)
         _emit(rec)
+    _run_7b_subprocess(rec, "score_7b", ["w:w8a8;pallas"], ["--score"],
+                       gate=300, note="score")
     _cached_7b_fields(rec)
+
+
+def _env_gate(name, default):
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
 
 
 def _fmt_tag(spec: str) -> str:
@@ -365,9 +395,92 @@ def _real_checkpoint_fields(rec):
             )
 
 
+_FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_FULL.json")
+
+
+def _purge_stale_cached(rec):
+    """Drop cached_* keys whose live counterpart landed later (ADVICE r3):
+    the artifact must never carry both a stale cached value and a differing
+    live value for the same measurement."""
+    for k in list(rec):
+        if k.startswith("cached_") and k[len("cached_"):] in rec:
+            del rec[k]
+
+
+def _compact(rec):
+    """Certifying summary for stdout — MUST stay well under the driver's
+    2,000-char tail window (VERDICT r3 weak #1: two rounds of parsed:null
+    because the cumulative record outgrew it; target <= ~1,400 chars).
+    Every emitted stdout line is one of these; the FULL cumulative record
+    goes to BENCH_FULL.json instead."""
+    c = {"metric": rec["metric"], "value": rec["value"], "unit": rec["unit"],
+         "vs_baseline": rec["vs_baseline"]}
+    ren = {
+        "fake_quant_vs_baseline": "s124_fake_x",
+        "decode_vs_baseline": "d124_lns8p_x",
+        "decode_xl1p5b_w8a8_vs_baseline": "xl_w8a8_x",
+        "decode_xl1p5b_lns4_kpair_vs_baseline": "xl_lns4k_x",
+        "decode_xl1p5b_int4g_kpair_vs_baseline": "xl_int4gk_x",
+        "decode_xl1p5b_nf4_kpair_vs_baseline": "xl_nf4k_x",
+        "real_ckpt_bf16_bits_per_byte": "ck_bf16_bpb",
+        "real_ckpt_lns8_delta_bpb": "ck_lns8_d",
+        "real_ckpt_int4g_delta_bpb": "ck_int4g_d",
+        "real_ckpt_act_lns8_delta_bpb": "ck_alns8_d",
+        "cached_7b_ts": "c7b_ts",
+    }
+    for k, ck in ren.items():
+        if k in rec:
+            c[ck] = rec[k]
+
+    def _short(k):
+        return (k.replace("decode_7b_", "d7b_").replace("score_7b_", "s7b_")
+                 .replace("batcher_7b_", "b7b_").replace("serve_7b_", "v7b_")
+                 .replace("decode_13b_", "d13b_")
+                 .replace("_tokens_per_s", "_tps")
+                 .replace("_vs_baseline", "_x")
+                 .replace("int4g_kpair", "int4gk")
+                 .replace("lns4_kpair", "lns4k").replace("nf4_kpair", "nf4k")
+                 .replace("_fuse", "F"))
+
+    live_prefixes = ("decode_7b_", "score_7b_", "batcher_7b_", "serve_7b_",
+                     "decode_13b_")
+    for k, v in sorted(rec.items()):
+        if k.startswith(live_prefixes) and (
+                k.endswith(("_tokens_per_s", "_vs_baseline"))):
+            c[_short(k)] = v
+        elif k.startswith("cached_") and k.endswith("_vs_baseline"):
+            c["c" + _short(k[len("cached_"):])] = v
+    c["live7b"] = any(k.startswith("decode_7b_") for k in rec)
+    if "decode_7b_int4g_kpair_fallback_leaves" in rec:
+        c["d7b_int4gk_audit"] = (
+            f"{rec.get('decode_7b_int4g_kpair_packed_leaves')}p/"
+            f"{rec['decode_7b_int4g_kpair_fallback_leaves']}f")
+    skips = sorted(k.split("_", 1)[1] for k in rec
+                   if k.startswith(("skipped_", "error_", "partial_")))
+    if skips:
+        c["skip"] = ",".join(skips)[:200]
+    c["elapsed_s"] = rec.get("elapsed_s")
+    out = json.dumps(c)
+    if len(out) > 1900:  # hard driver-window backstop: shed detail, keep core
+        for key in list(c):
+            if key not in ("metric", "value", "unit", "vs_baseline",
+                           "d7b_int4gk_x", "d7b_bf16_tps", "live7b",
+                           "elapsed_s"):
+                del c[key]
+        out = json.dumps(c)
+    return out
+
+
 def _emit(rec):
     rec["elapsed_s"] = round(time.time() - _T0, 1)
-    print(json.dumps(rec), flush=True)
+    _purge_stale_cached(rec)
+    try:
+        with open(_FULL_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+    print(_compact(rec), flush=True)
 
 
 def main():

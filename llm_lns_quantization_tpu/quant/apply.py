@@ -92,7 +92,7 @@ _MX_PACK = {
 }
 
 
-def quantize_weights(params, config: QuantConfig):
+def quantize_weights(params, config: QuantConfig, materialize=None):
     """Quantize every eligible leaf of a param pytree.
 
     Fake-quant tier (default): mirrors the reference weight-quantization loop
@@ -103,6 +103,14 @@ def quantize_weights(params, config: QuantConfig):
     Real-quant tier (``config.use_pallas``): matmul weights are instead
     packed into integer codes (ops.packing) consumed by the dequant-fused
     Pallas kernels; non-matmul weights fall back to fake-quant.
+
+    ``materialize(path_str, leaf) -> Array``: optional lazy-leaf hook. When
+    given, ``params`` leaves may be ``jax.ShapeDtypeStruct`` placeholders;
+    each is materialized right before its quantization and freed as soon as
+    the packed result exists — so packing an N-billion-param model never
+    holds the full bf16 tree (peak memory = packed tree + one bf16 leaf).
+    Benchmarks use this to generate random 7B/13B weights directly on the
+    TPU (no 13.5 GB host->device tunnel transfer, scripts/bench_serving_7b).
     """
     fn = config.weight_fn
     if fn is None:
@@ -205,6 +213,8 @@ def quantize_weights(params, config: QuantConfig):
 
     def leaf_fn(path, leaf):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if materialize is not None:
+            leaf = materialize(name, leaf)
         if _is_skipped(name, config.skip_weight_patterns):
             return leaf
         if getattr(leaf, "ndim", 0) < 2:

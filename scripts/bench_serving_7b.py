@@ -11,6 +11,7 @@ packed-size + one bf16 leaf). Batch-8 greedy KV-cache decode after a
 """
 
 import argparse
+import functools
 import gc
 import json
 import os
@@ -25,12 +26,14 @@ sys.path.insert(0, "/root/repo")
 from bench import _decode_fn, _decode_throughput, _score_fn, _throughput  # noqa: E402
 
 
-def _host_params(cfg, llama, cache_dir="/root/repo/.cache/host_params_7b"):
+def _host_params(cfg, llama, cache_dir=None):
     """Random 7B host params, disk-cached: the numpy fill takes ~400 s on
     these 2 vCPUs (measured round 3), which alone starved the in-bench 7B
     subprocess of its budget — a warm cache loads as memmaps in seconds."""
     import ml_dtypes
 
+    if cache_dir is None:
+        cache_dir = f"/root/repo/.cache/host_params_h{cfg.num_hidden_layers}"
     shapes = jax.eval_shape(
         lambda k: llama.init_params(k, cfg), jax.random.PRNGKey(0)
     )
@@ -54,6 +57,36 @@ def _host_params(cfg, llama, cache_dir="/root/repo/.cache/host_params_7b"):
     with open(stamp, "w") as f:
         f.write("ok")
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _gen_leaf(seed, shape):
+    k = jax.random.PRNGKey(seed)
+    return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(
+        jnp.bfloat16)
+
+
+def _device_param_shapes(cfg, llama):
+    """ShapeDtypeStruct pytree + per-leaf on-TPU generator.
+
+    Random weights generated DIRECTLY on the chip: the host path's
+    13.5 GB host->TPU tunnel transfer dominated every 7B row's wall clock
+    (round 3: bf16 row 1000 s, int4gk 864 s — BENCH7B.jsonl t_wall_s), and
+    random fills have no reason to ever cross PCIe. Values match the host
+    path's distribution (normal * 0.02); throughput does not depend on
+    values."""
+    shapes = jax.eval_shape(
+        lambda k: llama.init_params(k, cfg), jax.random.PRNGKey(0)
+    )
+    flat, _ = jax.tree_util.tree_flatten(shapes)
+    index = {id(s): i for i, s in enumerate(flat)}
+
+    def materialize(_name, leaf):
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return _gen_leaf(index[id(leaf)], tuple(leaf.shape))
+        return leaf
+
+    return shapes, materialize
 
 
 def main():
@@ -83,15 +116,28 @@ def main():
                     help="skip the bf16 baseline (batcher mode at bf16 is "
                          "memory-tight at 7B: 13.5 GB weights + two cache "
                          "pools transiently)")
+    ap.add_argument("--gen", choices=("device", "host"), default="device",
+                    help="random-weight source: 'device' generates on the "
+                         "TPU (no tunnel transfer; ';fuse' specs fall back "
+                         "to host), 'host' reproduces the round-3 "
+                         "numpy-memmap path")
+    ap.add_argument("--preset", default="llama2_7b",
+                    help="LlamaConfig classmethod preset (llama2_7b / "
+                         "llama2_13b)")
     args = ap.parse_args()
 
     tpu = jax.devices()[0]
     specs = args.formats
 
-    cfg = llama.LlamaConfig.llama2_7b(dtype=jnp.bfloat16)
-    t0 = time.time()
-    host = _host_params(cfg, llama)
-    print(f"# host params in {time.time()-t0:.0f}s", flush=True)
+    cfg = getattr(llama.LlamaConfig, args.preset)(dtype=jnp.bfloat16)
+    host = None
+    shapes = materialize = None
+    if args.gen == "device" and not any("fuse" in s for s in specs):
+        shapes, materialize = _device_param_shapes(cfg, llama)
+    else:
+        t0 = time.time()
+        host = _host_params(cfg, llama)
+        print(f"# host params in {time.time()-t0:.0f}s", flush=True)
 
     def bundle_with(params):
         return ModelBundle(
@@ -147,19 +193,27 @@ def main():
             rec["env_overrides"] = ov
         print(json.dumps(rec), flush=True)
         # persist for bench.py's cached-7B surfacing: a driver bench window
-        # too short for a live 7B pass (~12 min for the bf16 row alone)
-        # still reports the latest session-measured rows, marked cached
+        # too short for a live 7B pass still reports the latest
+        # session-measured rows, marked cached. Non-7B presets (13B) get
+        # their own ledger so the 7B surfacing can't pick them up.
+        ledger = ("/root/repo/BENCH7B.jsonl" if args.preset == "llama2_7b"
+                  else f"/root/repo/BENCH_{args.preset}.jsonl")
         try:
-            with open("/root/repo/BENCH7B.jsonl", "a") as f:
+            with open(ledger, "a") as f:
                 f.write(json.dumps({"ts": int(time.time()), **rec}) + "\n")
         except OSError:
             pass
     base_tps = None
     if not args.skip_bf16:
         t0 = time.time()
-        dev_params = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, tpu), host
-        )
+        if host is None:
+            dev_params = jax.tree_util.tree_map(
+                lambda l: materialize("", l), shapes
+            )
+        else:
+            dev_params = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, tpu), host
+            )
         jax.block_until_ready(dev_params)
         b = bundle_with(dev_params)
         base_tps = measure(b, QuantConfig())
@@ -171,10 +225,15 @@ def main():
     for spec in specs:
         t0 = time.time()
         quant = QuantConfig.parse(spec)
-        # packing runs on the TPU, one host leaf at a time
-        src = llama.fuse_projections(host) if quant.fuse_proj else host
-        qparams = quantize_weights(src, quant)
-        qparams = jax.device_put(qparams, tpu)  # move remaining host leaves
+        if host is None:
+            # generate + pack leaf-by-leaf ON the TPU: peak HBM = packed
+            # tree + one transient bf16 leaf; zero host transfer
+            qparams = quantize_weights(shapes, quant, materialize=materialize)
+        else:
+            # packing runs on the TPU, one host leaf at a time
+            src = llama.fuse_projections(host) if quant.fuse_proj else host
+            qparams = quantize_weights(src, quant)
+            qparams = jax.device_put(qparams, tpu)  # move remaining host leaves
         jax.block_until_ready(qparams)
         audit = packed_leaf_report(qparams)
         qb = bundle_with(qparams)

@@ -1306,3 +1306,36 @@ def test_askip_site_opt_out():
     np.testing.assert_array_equal(np.asarray(actq("lm_head", x)),
                                   np.asarray(x))
     assert not np.array_equal(np.asarray(actq("mlp_fc", x)), np.asarray(x))
+
+
+def test_quantize_weights_lazy_materialize():
+    """quantize_weights(materialize=...) packs a ShapeDtypeStruct tree
+    leaf-by-leaf, bitwise identical to packing the materialized tree — the
+    mechanism that lets the 7B/13B benches generate weights on-TPU without
+    ever holding the full bf16 tree (scripts/bench_serving_7b.py)."""
+    from llm_lns_quantization_tpu.models import build_model
+    from llm_lns_quantization_tpu.quant import QuantConfig
+    from llm_lns_quantization_tpu.quant.apply import quantize_weights
+
+    base = build_model(family="llama", preset="tiny")
+    quant = QuantConfig.parse("w:int4g;pallas")
+    eager = quantize_weights(base.params, quant)
+
+    flat, treedef = jax.tree_util.tree_flatten(base.params)
+    shapes = jax.tree_util.tree_unflatten(
+        treedef, [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in flat]
+    )
+    sds_to_leaf = {}
+    for sds, leaf in zip(jax.tree_util.tree_leaves(shapes), flat):
+        sds_to_leaf[id(sds)] = leaf
+    calls = []
+
+    def materialize(name, l):
+        calls.append(name)
+        return sds_to_leaf[id(l)] if isinstance(l, jax.ShapeDtypeStruct) else l
+
+    lazy = quantize_weights(shapes, quant, materialize=materialize)
+    assert len(calls) == len(flat)  # every leaf went through the hook
+    for a, b in zip(jax.tree_util.tree_leaves(eager),
+                    jax.tree_util.tree_leaves(lazy)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -102,3 +102,46 @@ def test_eval_formats_bootstrap_ppl_stderr(tmp_path):
     p.write_text(_json.dumps(half))
     out50 = _bootstrap_ppl_stderr(str(tmp_path), "wikitext", iters=2000)
     assert out50["byte_perplexity_stderr"] > out["byte_perplexity_stderr"]
+
+
+def test_bench_compact_emit_fits_driver_window():
+    """bench.py's stdout contract (VERDICT r3 weak #1): every emitted line
+    must fit the driver's 2,000-char tail window with margin, purge stale
+    cached_* keys once a live counterpart exists, and carry the certifying
+    fields (live 7B ratio, packed-leaf audit, skip markers)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rec = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 0.89,
+           "decode_7b_bf16_tokens_per_s": 360.8,
+           "decode_7b_int4g_kpair_tokens_per_s": 433.5,
+           "decode_7b_int4g_kpair_vs_baseline": 1.2014,
+           "decode_7b_int4g_kpair_packed_leaves": 224,
+           "decode_7b_int4g_kpair_fallback_leaves": 0,
+           "cached_decode_7b_int4g_kpair_vs_baseline": 1.19,
+           "cached_decode_7b_int4g_kpair_tokens_per_s": 430.0,
+           "cached_decode_7b_lns4_kpair_vs_baseline": 0.86,
+           "skipped_score_7b": "budget", "elapsed_s": 900.1}
+    # pad with many plausible extra fields: the compact line must stay small
+    for i in range(40):
+        rec[f"decode_xl1p5b_fmt{i}_vs_baseline"] = 1.0 + i / 100
+
+    bench._purge_stale_cached(rec)
+    # live int4gk rows exist -> their cached twins are gone; lns4k's stays
+    assert "cached_decode_7b_int4g_kpair_vs_baseline" not in rec
+    assert "cached_decode_7b_lns4_kpair_vs_baseline" in rec
+
+    line = bench._compact(rec)
+    assert len(line) < 1500, len(line)
+    c = json.loads(line)
+    assert c["d7b_int4gk_x"] == 1.2014
+    assert c["d7b_int4gk_audit"] == "224p/0f"
+    assert c["live7b"] is True
+    assert "score_7b" in c["skip"]
+
+    # backstop: even a pathologically wide record must shed to the core set
+    for i in range(400):
+        rec[f"decode_7b_longformatname{i}_tokens_per_s"] = 123.456
+    line = bench._compact(rec)
+    assert len(line) < 1900, len(line)
+    assert json.loads(line)["d7b_int4gk_x"] == 1.2014
