@@ -98,6 +98,8 @@ class TPULM(LM):
         mesh=None,
         shard: bool = False,
         score_chunk: Optional[int] = None,
+        serve: Optional[int] = None,
+        serve_steps_per_dispatch: int = 16,
     ):
         super().__init__()
         del device  # device placement is XLA's job; kept for CLI compat
@@ -160,6 +162,15 @@ class TPULM(LM):
         # the cache and cannot see kv: at all (BASELINE config #3's
         # "W8A8 + INT8 KV cache" accuracy spec).
         self._score_chunk = int(score_chunk) if score_chunk else None
+        # serve=N: route greedy_until through the ContinuousBatcher
+        # (lm/serve.py) with N slots — generation tasks then run on the
+        # production serving tier (continuous admission, fused multi-step
+        # decode chunks, packed kernels) instead of the lock-step decode.
+        # The reference equivalent is model.generate inside eval
+        # (huggingface.py:2093-2128); this is its serving-grade analogue.
+        self._serve_slots = int(serve) if serve else None
+        self._serve_steps = int(serve_steps_per_dispatch)
+        self._batcher = None
         self._score_jit = jax.jit(
             functools.partial(self._score_step, self.bundle.cfg)
         )
@@ -454,7 +465,69 @@ class TPULM(LM):
             self._decode_cache[key] = self._build_decode(batch, prompt_len, gen_len)
         return self._decode_cache[key]
 
+    def _greedy_until_serve(self, requests) -> List[str]:
+        """greedy_until through the continuous batcher (``serve=N``).
+
+        Requests are grouped by (stop-id set, generation budget) — tasks are
+        uniform in both, so this is almost always one group — and each group
+        streams through the slot pool in request order. Device-side early
+        exit uses EOT plus single-token stop encodings (the lock-step path's
+        rule); multi-token stop strings are trimmed host-side on the decoded
+        text, preserving MultiTokenEOSCriteria semantics (reference
+        huggingface.py:2294-2340)."""
+        from .serve import ContinuousBatcher
+
+        if self._batcher is None:
+            self._batcher = ContinuousBatcher(
+                self.bundle,
+                quant=self.quant_config,
+                slots=self._serve_slots,
+                max_len=self._max_length,
+                steps_per_dispatch=self._serve_steps,
+            )
+        cb = self._batcher
+
+        groups = {}  # (stop_ids, max_gen) -> [(orig_idx, ctx, until)]
+        for i, (ctx, arg) in enumerate(requests):
+            until = arg["until"] if isinstance(arg, dict) else arg
+            if isinstance(until, str):
+                until = [until]
+            until = until or []
+            max_gen = min(
+                self.max_gen_toks,
+                arg.get("max_length", self.max_gen_toks)
+                if isinstance(arg, dict) else self.max_gen_toks,
+            )
+            stop_ids = {self.eot_token_id}
+            for term in until:
+                enc = self.tok_encode(term)
+                if len(enc) == 1:
+                    stop_ids.add(enc[0])
+            groups.setdefault(
+                (tuple(sorted(stop_ids)), max_gen), []
+            ).append((i, ctx, until))
+
+        res: List[Optional[str]] = [None] * len(requests)
+        for (stop_ids, max_gen), items in groups.items():
+            prompts = [self.tok_encode(ctx) for _, ctx, _ in items]
+            outs = cb.generate(prompts, max_new_tokens=max_gen,
+                               stop_ids=stop_ids)
+            stop_arr = np.asarray(stop_ids, np.int32)
+            for (i, ctx, until), row in zip(items, outs):
+                row = np.asarray(row, np.int32)
+                hits = np.nonzero(np.isin(row, stop_arr))[0]
+                if hits.size:
+                    row = row[: hits[0]]
+                s = self.tok_decode(row)
+                for term in until:
+                    s = s.split(term)[0]
+                self.cache_hook.add_partial("greedy_until", (ctx, until), s)
+                res[i] = s
+        return res
+
     def greedy_until(self, requests) -> List[str]:
+        if self._serve_slots:
+            return self._greedy_until_serve(requests)
         res = []
 
         # encode each context once: sorting, budgeting and packing all need

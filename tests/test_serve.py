@@ -104,3 +104,33 @@ def test_continuous_batching_rejects_seq2seq():
     bundle = build_model(family="t5", preset="tiny", dtype=jnp.float32)
     with pytest.raises(AssertionError):
         ContinuousBatcher(bundle)
+
+
+def test_tpulm_serve_mode_matches_lockstep_greedy_until():
+    """``serve=N`` routes greedy_until through the ContinuousBatcher; the
+    generated strings must equal the lock-step decode path's for the same
+    requests (greedy decoding is deterministic), including multi-token stop
+    trimming and request-order restoration across slot reuse."""
+    from llm_lns_quantization_tpu.lm.tpu_lm import TPULM
+
+    reqs = [
+        ("The quick brown", {"until": ["\n"], "max_length": 12}),
+        ("Pack my box with", {"until": ["\n"], "max_length": 12}),
+        ("a", {"until": ["\n"], "max_length": 12}),
+        ("Sphinx of black quartz judge my vow and then some more text",
+         {"until": ["\n"], "max_length": 12}),
+        ("The quick brown", {"until": ["\n"], "max_length": 12}),  # dup
+    ]
+    lock = TPULM(family="gpt2", preset="tiny", batch_size=2, dtype="float32")
+    serve = TPULM(family="gpt2", preset="tiny", batch_size=2,
+                  dtype="float32", serve=2)
+    a = lock.greedy_until(list(reqs))
+    b = serve.greedy_until(list(reqs))
+    assert a == b, (a, b)
+    assert b[0] == b[4]  # identical requests -> identical outputs
+
+    # quantized serving tier end-to-end through the batcher
+    q = TPULM(family="gpt2", preset="tiny", batch_size=2, dtype="float32",
+              quant="w:w8a8;pallas", serve=2)
+    out = q.greedy_until(list(reqs[:2]))
+    assert all(isinstance(s, str) for s in out)
