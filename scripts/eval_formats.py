@@ -97,21 +97,27 @@ def run_one(pretrained, family, dtype, task_name, spec, limit, batch_size,
     )
     res = dict(out["results"][task_name])
     if stderr_docs:
-        res.update(_bootstrap_ppl_stderr(out_dir, task_name))
+        res.update(_bootstrap_doc_stderr(out_dir, task_name))
     return res
 
 
-def _bootstrap_ppl_stderr(out_dir, task_name, iters=10000, seed=17):
-    """Bootstrap stderr of the weighted perplexity family over documents.
+def _bootstrap_doc_stderr(out_dir, task_name, iters=10000, seed=17):
+    """Bootstrap stderr over documents for every per-doc metric.
 
-    Reads the per-doc metric tuples (``(ll, words)`` / ``(ll, bytes)``) the
-    evaluator wrote via ``--write_out`` and resamples documents: the
-    aggregate is exp(-sum ll / sum w) (harness/metrics.py
-    weighted_perplexity), so the doc is the exchangeable unit.
+    Reads the per-doc metric values the evaluator wrote via ``--write_out``
+    and resamples documents (the exchangeable unit). Two metric shapes:
+
+    * tuples ``(ll, words)`` / ``(ll, bytes)`` — the weighted perplexity
+      family: aggregate is exp(-sum ll / sum w) (harness/metrics.py);
+    * scalars (``acc``, ``acc_norm``, lambada ``ppl`` lls) — mean-aggregated
+      (``ppl`` is exp(-mean ll), harness/metrics.py perplexity).
+
+    Per-doc vectors ride the jsonl record (``doc_<metric>``) so Δ-vs-baseline
+    gets a PAIRED bootstrap — same docs across formats, so the marginal
+    stderr wildly overstates the uncertainty of the difference.
     """
     import ast
     import glob
-    import math
 
     import numpy as np
 
@@ -120,32 +126,45 @@ def _bootstrap_ppl_stderr(out_dir, task_name, iters=10000, seed=17):
         return {}
     with open(path[0]) as f:
         docs = json.load(f)
-    pairs = {"word_perplexity": [], "byte_perplexity": []}
+    vals = {}
+    skip = {"doc_id", "prompt_0", "truth"}
     for doc in docs.values() if isinstance(docs, dict) else docs:
-        for metric in pairs:
-            if metric in doc:
-                pairs[metric].append(ast.literal_eval(doc[metric]))
+        for metric, raw in doc.items():
+            if metric in skip or metric.startswith(("prompt_", "logit_")):
+                continue
+            try:
+                v = ast.literal_eval(raw) if isinstance(raw, str) else raw
+            except (ValueError, SyntaxError):
+                continue
+            vals.setdefault(metric, []).append(v)
     out = {}
     rng = np.random.default_rng(seed)
-    for metric, vals in pairs.items():
-        if len(vals) < 2:
+    n_docs = 0
+    for metric, mv in vals.items():
+        if len(mv) < 2:
             continue
-        ll = np.asarray([v[0] for v in vals])
-        w = np.asarray([float(v[1]) for v in vals])
-        n = len(vals)
+        n_docs = max(n_docs, len(mv))
+        n = len(mv)
         idx = rng.integers(0, n, size=(iters, n))
-        agg = np.exp(-ll[idx].sum(axis=1) / w[idx].sum(axis=1))
-        out[metric + "_stderr"] = float(np.std(agg))
-        if metric == "byte_perplexity":
-            # bits_per_byte = log2(byte_perplexity)
-            out["bits_per_byte_stderr"] = float(np.std(np.log2(agg)))
-    out["stderr_docs"] = len(pairs["byte_perplexity"])
-    # per-doc (ll, bytes) pairs ride the jsonl record so Δ-vs-baseline gets
-    # a PAIRED bootstrap (same docs across formats => the marginal stderr
-    # wildly overstates the uncertainty of the difference)
-    bp = pairs["byte_perplexity"]
-    out["doc_ll"] = [round(v[0], 4) for v in bp]
-    out["doc_bytes"] = [int(v[1]) for v in bp]
+        if isinstance(mv[0], tuple):
+            ll = np.asarray([v[0] for v in mv])
+            w = np.asarray([float(v[1]) for v in mv])
+            agg = np.exp(-ll[idx].sum(axis=1) / w[idx].sum(axis=1))
+            out[metric + "_stderr"] = float(np.std(agg))
+            if metric == "byte_perplexity":
+                # bits_per_byte = log2(byte_perplexity)
+                out["bits_per_byte_stderr"] = float(np.std(np.log2(agg)))
+                out["doc_ll"] = [round(v, 4) for v in ll]
+                out["doc_bytes"] = [int(x) for x in w]
+        else:
+            x = np.asarray(mv, float)
+            if metric == "ppl":  # lambada: per-doc lls, exp(-mean ll)
+                agg = np.exp(-x[idx].mean(axis=1))
+            else:
+                agg = x[idx].mean(axis=1)
+            out[metric + "_stderr"] = float(np.std(agg))
+            out[f"doc_{metric}"] = [round(float(v), 4) for v in x]
+    out["stderr_docs"] = n_docs
     return out
 
 
@@ -166,6 +185,28 @@ def paired_delta_bpb_stderr(rec_a, rec_b, iters=10000, seed=23):
     idx = rng.integers(0, n, size=(iters, n))
     ws = w[idx].sum(axis=1)
     d = (-la[idx].sum(axis=1) / ws + lb[idx].sum(axis=1) / ws) / np.log(2.0)
+    return float(np.std(d))
+
+
+def paired_delta_mean_stderr(rec_a, rec_b, key, iters=10000, seed=29):
+    """Paired bootstrap stderr of a mean-aggregated per-doc metric Δ
+    (``doc_acc`` / ``doc_acc_norm`` / lambada ``doc_ppl`` lls): both formats
+    scored the same docs, so documents resample jointly."""
+    import numpy as np
+
+    if key not in rec_a or key not in rec_b:
+        return None
+    xa = np.asarray(rec_a[key], float)
+    xb = np.asarray(rec_b[key], float)
+    n = len(xa)
+    if len(xb) != n or n < 2:
+        return None
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(iters, n))
+    if key == "doc_ppl":  # per-doc lls: Δ of exp(-mean ll)
+        d = np.exp(-xa[idx].mean(axis=1)) - np.exp(-xb[idx].mean(axis=1))
+    else:
+        d = xa[idx].mean(axis=1) - xb[idx].mean(axis=1)
     return float(np.std(d))
 
 
@@ -228,16 +269,11 @@ def main(argv=None):
         res = run_one(args.pretrained, args.family, args.dtype, task_name,
                       spec, args.limit, args.batch_size,
                       data_dir=args.data_dir, stderr_docs=args.stderr)
-        rec = {"label": label, "spec": spec,
-               "word_perplexity": res["word_perplexity"],
-               "byte_perplexity": res["byte_perplexity"],
-               "bits_per_byte": res["bits_per_byte"],
+        rec = {"label": label, "spec": spec, "task": task_name,
                "seconds": round(time.time() - t0, 1)}
-        for k in ("word_perplexity_stderr", "byte_perplexity_stderr",
-                  "bits_per_byte_stderr", "stderr_docs", "doc_ll",
-                  "doc_bytes"):
-            if k in res:
-                rec[k] = res[k]
+        for k, v in res.items():
+            if isinstance(v, (int, float)) or k.startswith("doc_"):
+                rec[k] = v
         done[label] = rec
         with open(state_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -245,22 +281,51 @@ def main(argv=None):
         gc.collect()
 
     base = done.get("bf16 baseline") or done.get("baseline")
-    lines = [
-        "| quant spec | byte ppl | bits/byte | Δ bits/byte vs baseline | word ppl |",
-        "|---|---|---|---|---|",
-    ]
-    for label, _ in specs:
-        r = done.get(label)
-        if not r:
-            continue
-        d = (r["bits_per_byte"] - base["bits_per_byte"]) if base else float("nan")
-        bpb = f"{r['bits_per_byte']:.4f}"
-        if "bits_per_byte_stderr" in r:
-            bpb += f" ± {r['bits_per_byte_stderr']:.4f}"
-        lines.append(
-            f"| {label} | {r['byte_perplexity']:.4f} | {bpb} "
-            f"| {d:+.4f} | {r['word_perplexity']:.1f} |"
-        )
+    if base and "bits_per_byte" in base:
+        lines = [
+            "| quant spec | byte ppl | bits/byte | Δ bits/byte vs baseline | word ppl |",
+            "|---|---|---|---|---|",
+        ]
+        for label, _ in specs:
+            r = done.get(label)
+            if not r or "bits_per_byte" not in r:
+                continue
+            d = r["bits_per_byte"] - base["bits_per_byte"]
+            bpb = f"{r['bits_per_byte']:.4f}"
+            if "bits_per_byte_stderr" in r:
+                bpb += f" ± {r['bits_per_byte_stderr']:.4f}"
+            lines.append(
+                f"| {label} | {r['byte_perplexity']:.4f} | {bpb} "
+                f"| {d:+.4f} | {r['word_perplexity']:.1f} |"
+            )
+    else:
+        # accuracy-style tasks (lambada/hellaswag): generic metric columns
+        # with paired Δ stderrs where per-doc vectors exist
+        metrics = [k for k, v in (base or {}).items()
+                   if isinstance(v, float) and not k.endswith("_stderr")
+                   and not k.startswith("doc_") and k != "seconds"]
+        hdr = " | ".join(
+            f"{m} (Δ vs baseline ±paired)" for m in metrics)
+        lines = [f"| quant spec | {hdr} |",
+                 "|---" * (1 + len(metrics)) + "|"]
+        for label, _ in specs:
+            r = done.get(label)
+            if not r:
+                continue
+            cells = []
+            for m in metrics:
+                v = r.get(m)
+                if v is None:
+                    cells.append("—")
+                    continue
+                cell = f"{v:.4f}"
+                if r is not base and base and m in base:
+                    d = v - base[m]
+                    se = paired_delta_mean_stderr(r, base, "doc_" + m)
+                    cell += (f" ({d:+.4f} ± {se:.4f})" if se is not None
+                             else f" ({d:+.4f})")
+                cells.append(cell)
+            lines.append(f"| {label} | " + " | ".join(cells) + " |")
     table = "\n".join(lines)
     print(table)
     with open(args.out + ".table.md", "w") as f:
