@@ -60,6 +60,29 @@ def _stacked_kernel(xs_ref, w_ref, o_ref, wdec_ref, *, nib_decode, k2):
     ).astype(jnp.bfloat16)
 
 
+def _lns4_nib_decode_opt(nib):
+    """Round-4 experiment: minimal-op int32 bit assembly (10 vector ops vs
+    the shipped 13) — same grid, bit-exact. (nib&6)<<22 lands the exponent
+    lsbs at bit 23 with the -4 bias folded into the 125<<23 constant."""
+    bits = (((nib & 8) << 28) + ((nib & 6) << 22)
+            + (nib & 1) * 0x350000 + (125 << 23))
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.int32), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def _lns4_nib_decode_i16(nib):
+    """Round-4 experiment: assemble bf16 BITS directly in int16 (9 narrow
+    ops, no f32 round-trip) — if Mosaic runs int16 lanes at 2x int32 rate
+    and supports the i16->bf16 bitcast, decode cost roughly halves. bf16
+    fields: sign bit 15, exponent bits 14-7, mantissa bits 6-0 (sqrt2's
+    7-bit mantissa is 0x35)."""
+    n = nib.astype(jnp.int16)
+    bits = (((n & 8) << 12) + ((n & 6) << 6)
+            + (n & 1) * jnp.int16(0x35) + jnp.int16(125 << 7))
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.int16), jnp.bfloat16)
+
+
 def stacked_matmul(xs, packed, nib_decode, block_n=256):
     """[M, K] (kpair-permuted cols: evens then odds) @ packed [K/2, N]."""
     M, K = xs.shape
@@ -133,6 +156,14 @@ def main():
                 x, packed),
             "stacked": (lambda xs, p: stacked_matmul(
                 xs, p, qmm._lns4_nib_decode), xs, packed),
+            # decode-cost experiments (VERDICT r3 item #5: lns4k fused loses
+            # to int4gk by the in-kernel decode serialization)
+            "fused_opt": (lambda x, p: qmm._kpair_matmul(
+                x, p, _lns4_nib_decode_opt, None, None, jnp.bfloat16, None),
+                x, packed),
+            "fused_i16": (lambda x, p: qmm._kpair_matmul(
+                x, p, _lns4_nib_decode_i16, None, None, jnp.bfloat16, None),
+                x, packed),
         }
         # correctness gate: every variant must agree with the XLA kpair dot
         ref = np.asarray(jax.device_get(runs["xla2dot"][0](x, packed)),
