@@ -60,32 +60,50 @@ def main():
     ap.add_argument("--out", default="AUDIT_70B.json")
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--preset", default="llama2_70b",
+                    help="LlamaConfig classmethod (llama2_70b / llama2_13b "
+                         "for the BASELINE config #4 TP audit)")
+    ap.add_argument("--mesh", default="1x8",
+                    help="data x model mesh shape (config #4 asks for 2x4)")
+    ap.add_argument("--quant", default="w:int4g;pallas",
+                    help="packed spec for the quantized variant (config #4: "
+                         "w:mx;a:vsquant — activation fake-quant rides the "
+                         "forward unchanged)")
     args = ap.parse_args()
 
-    mesh = make_mesh(shape=(1, 8))
+    dp, mp = map(int, args.mesh.split("x"))
+    mesh = make_mesh(shape=(dp, mp))
     tok_sh = NamedSharding(mesh, P("data", None))
-    cfg = llama.LlamaConfig.llama2_70b(dtype=jnp.bfloat16)
+    cfg = getattr(llama.LlamaConfig, args.preset)(dtype=jnp.bfloat16)
     sds = jax.eval_shape(
         lambda k: llama.init_params(k, cfg), jax.random.PRNGKey(0)
     )
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(sds))
     out = {
-        "config": "llama2_70b (80L/8192d/64H/8KV/28672ffn, vocab 32000)",
+        "config": f"{args.preset} ({cfg.num_hidden_layers}L/"
+                  f"{cfg.hidden_size}d/{cfg.num_attention_heads}H/"
+                  f"{cfg.num_key_value_heads}KV/{cfg.intermediate_size}ffn, "
+                  f"vocab {cfg.vocab_size})",
         "n_params": n_params,
-        "mesh": "(data=1, model=8) virtual CPU mesh (SPMD partitioner; the "
-                "same GSPMD pass partitions for real v5e/v5p slices)",
+        "mesh": f"(data={dp}, model={mp}) virtual CPU mesh (SPMD "
+                "partitioner; the same GSPMD pass partitions for real "
+                "v5e/v5p slices)",
         "seq": args.seq,
         "batch": args.batch,
+        "quant_spec": args.quant,
     }
 
-    def compile_variant(tag, params_sds):
-        specs = param_partition_specs(params_sds, "llama", 8)
+    from llm_lns_quantization_tpu.quant.apply import NULL_ACT_QUANT
+
+    def compile_variant(tag, params_sds, actq=None):
+        actq = NULL_ACT_QUANT if actq is None else actq
+        specs = param_partition_specs(params_sds, "llama", mp)
         sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
         toks = jax.ShapeDtypeStruct((args.batch, args.seq), jnp.int32)
 
         def fwd(params, tokens):
-            return llama.forward(params, cfg, tokens)
+            return llama.forward(params, cfg, tokens, actq)
 
         t0 = time.time()
         with mesh, jax.default_matmul_precision("default"):
@@ -114,7 +132,7 @@ def main():
         )
 
         def dec(params, tok, cache):
-            lg, c = llama.forward(params, cfg, tok, cache=cache,
+            lg, c = llama.forward(params, cfg, tok, actq, cache=cache,
                                   cache_index=jnp.int32(17))
             return lg, c
 
@@ -139,13 +157,18 @@ def main():
 
     compile_variant("bf16", sds)
 
-    quant = QuantConfig.parse("w:int4g;pallas")
+    quant = QuantConfig.parse(args.quant)
     qsds = jax.eval_shape(lambda p: quantize_weights(p, quant), sds)
     rep = packed_leaf_report(qsds)
-    out["int4gk_packed_leaves"] = rep["packed_leaves"]
-    out["int4gk_fallback_leaves"] = rep["fallback_leaves"]
-    assert rep["fallback_leaves"] == 0
-    compile_variant("int4gk", qsds)
+    qtag = quant.weights or "quant"
+    out[f"{qtag}_packed_leaves"] = rep["packed_leaves"]
+    out[f"{qtag}_fallback_leaves"] = rep["fallback_leaves"]
+    if quant.use_pallas:
+        assert rep["fallback_leaves"] == 0
+    from llm_lns_quantization_tpu.quant.apply import ActQuantizer
+
+    # activation fake-quant (e.g. config #4's a:vsquant) rides the forward
+    compile_variant(qtag, qsds, actq=ActQuantizer(quant))
 
     out["ts"] = int(time.time())
     with open(args.out, "w") as f:

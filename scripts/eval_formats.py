@@ -64,6 +64,7 @@ DEFAULT_SPECS = [
     # combined + packed serving tier
     ("w:lns8;a:lns8", "w:lns8;a:lns8"),
     ("w:w8a8;a:w8a8", "w:w8a8;a:w8a8"),
+    ("w:mx;a:vsquant", "w:mx;a:vsquant"),  # BASELINE config #4's literal spec
     ("w:lns8 packed", "w:lns8;pallas"),
     ("w:int4g packed", "w:int4g;pallas"),
     ("w:w8a8;a:w8a8 packed", "w:w8a8;a:w8a8;pallas"),
