@@ -296,6 +296,11 @@ def _section_7b(rec):
         _emit(rec)
     _run_7b_subprocess(rec, "score_7b", ["w:w8a8;pallas"], ["--score"],
                        gate=300, note="score")
+    _emit(rec)
+    # serving tier end-to-end: the ContinuousBatcher at 7B with the
+    # flagship format (VERDICT r3 item #7 bench field)
+    _run_7b_subprocess(rec, "batcher_7b", ["w:int4g;pallas"],
+                       ["--batcher", "--skip_bf16"], gate=300, note="serve")
     _cached_7b_fields(rec)
 
 

@@ -78,7 +78,7 @@ def test_eval_formats_bootstrap_ppl_stderr(tmp_path):
     import numpy as np
 
     sys.path.insert(0, "scripts")
-    from eval_formats import _bootstrap_ppl_stderr
+    from eval_formats import _bootstrap_doc_stderr as _bootstrap_ppl_stderr
 
     rng = np.random.default_rng(0)
     docs = {}
