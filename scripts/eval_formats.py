@@ -308,9 +308,14 @@ def main(argv=None):
             bpb = f"{r['bits_per_byte']:.4f}"
             if "bits_per_byte_stderr" in r:
                 bpb += f" ± {r['bits_per_byte_stderr']:.4f}"
+            dcell = f"{d:+.4f}"
+            if r is not base:
+                pse = paired_delta_bpb_stderr(r, base)
+                if pse is not None:
+                    dcell += f" ± {pse:.4f}"
             lines.append(
                 f"| {label} | {r['byte_perplexity']:.4f} | {bpb} "
-                f"| {d:+.4f} | {r['word_perplexity']:.1f} |"
+                f"| {dcell} | {r['word_perplexity']:.1f} |"
             )
     else:
         # accuracy-style tasks (lambada/hellaswag): generic metric columns
