@@ -176,6 +176,12 @@ def bootstrap_stderr(f, xs, iters):
 def stderr_for_metric(metric, bootstrap_iters):
     bootstrappable = [median, matthews_corrcoef, f1_score, perplexity, bleu, chrf, ter]
     if metric in bootstrappable:
+        if bootstrap_iters <= 0:
+            # bootstrap_iters=0 is the documented "skip stderrs" setting
+            # (eval_formats computes its own per-doc CIs); without this
+            # gate the chunked bootstrap divides by zero on bootstrappable
+            # metrics like lambada's ppl
+            return None
         return lambda x: bootstrap_stderr(metric, x, iters=bootstrap_iters)
     stderr = {mean: mean_stderr, acc_all: acc_all_stderr}
     return stderr.get(metric, None)

@@ -303,3 +303,15 @@ def test_json_task_through_cli_path(tmp_path):
     res = out["results"][name]
     for k in ("word_perplexity", "byte_perplexity", "bits_per_byte"):
         assert np.isfinite(res[k]) and res[k] > 0
+
+
+def test_stderr_for_metric_zero_iters_skips_bootstrap():
+    """bootstrap_iters=0 means 'no stderrs' (the eval_formats sweep computes
+    its own per-doc CIs); bootstrappable metrics must return None instead of
+    dividing by zero in the chunked bootstrap (round-4 lambada regression)."""
+    from llm_lns_quantization_tpu.harness import metrics
+
+    assert metrics.stderr_for_metric(metrics.perplexity, 0) is None
+    assert metrics.stderr_for_metric(metrics.median, 0) is None
+    fn = metrics.stderr_for_metric(metrics.perplexity, 100)
+    assert fn is not None and fn([-1.0, -2.0, -1.5]) > 0
