@@ -150,7 +150,8 @@ def main():
         runs = {
             "bf16": (bf16_dot, x, wb),
             "xla2dot": (lambda x, p: qmm._xla_kpair_dot(
-                x, p, qmm._lns4_nib_decode, b2d, jnp.bfloat16), x, packed),
+                x, p, lambda u, s: qmm._lns4_nib_decode(u), b2d,
+                jnp.bfloat16), x, packed),
             "fused": (lambda x, p: qmm._kpair_matmul(
                 x, p, qmm._lns4_nib_decode, None, None, jnp.bfloat16, None),
                 x, packed),
