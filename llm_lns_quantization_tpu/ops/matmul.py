@@ -183,15 +183,18 @@ def _dispatch_xla(M, K, N):
 def _lns4_nib_decode(nib):
     """4-bit LNS nibble [.., 4 bits] -> bf16 (pure bit assembly).
 
-    2^(k/2) = 2^(k>>1) * (1 or sqrt2); sqrt2's bf16 mantissa (0x35) is OR-ed
-    in directly from the nibble's low bit — no float multiply, exact in bf16.
-    """
-    k = (nib & 0x7) - 4
-    sbits = (nib & 0x8) << 28
-    mant = (nib & 1) * (0x35 << 16)  # bf16 mantissa of sqrt(2), f32-aligned
+    2^(k/2) = 2^(k>>1) * (1 or sqrt2); sqrt2's bf16 mantissa (0x35) is
+    multiplied in from the nibble's low bit — no float ops, exact in bf16.
+    Minimal-op form (round 4): sign = (nib&8)<<28; exponent lsbs land at
+    bit 23 via (nib&6)<<22 with the k-4 bias folded into the 125<<23
+    constant — 3 fewer vector ops than the k=(nib&7)-4 formulation, and on
+    the 4-bit decode the VPU op count is the measured cost driver of the
+    kpair tier at 7B decode (BASELINE.md round 4). Bit-exact vs the
+    original (tests/test_ops.py grid goldens)."""
+    bits = (((nib & 8) << 28) + ((nib & 6) << 22)
+            + (nib & 1) * 0x350000 + (125 << 23))
     return jax.lax.bitcast_convert_type(
-        (sbits | (((k >> 1) + 127) << 23) | mant).astype(jnp.int32),
-        jnp.float32,
+        bits.astype(jnp.int32), jnp.float32
     ).astype(jnp.bfloat16)
 
 
@@ -654,6 +657,13 @@ _KPAIR_FUSED_MIN_WEIGHT = _env_int("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
 # LUT decodes are too expensive inside the kernel's serialized tile loop).
 _INT4GK_FUSED_MIN_WEIGHT = _env_int("LLMQ_INT4GK_FUSED_MIN_WEIGHT",
                                     12_000_000)
+# nf4k: measured round 4 at 7B decode — fused kernel 0.565x bf16 vs
+# chunked-XLA 0.504x (the packed-word LUT decode dominates either way, but
+# the kernel's single packed read wins) — so 7B-class decode shapes take
+# the kernel, same 12M threshold rationale as int4gk. lns4k stays
+# XLA-everywhere: its chunked-XLA 0.936x beats its fused kernel's 0.77x.
+_NF4K_FUSED_MIN_WEIGHT = _env_int("LLMQ_NF4K_FUSED_MIN_WEIGHT",
+                                  12_000_000)
 
 
 def _kpair_split(x):
@@ -932,7 +942,8 @@ def nf4k_matmul(x, packed, bscale, block_size=64, block_m=None,
     rpb = block_size // 2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+    if (M >= _XLA_DOT_MIN_M
+            or K * N < min(_NF4K_FUSED_MIN_WEIGHT, _KPAIR_FUSED_MIN_WEIGHT)
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
         def plane(nib, s):
             b0, b1 = s // rpb, s // rpb + nib.shape[0] // rpb
