@@ -301,6 +301,13 @@ def _section_7b(rec):
     # flagship format (VERDICT r3 item #7 bench field)
     _run_7b_subprocess(rec, "batcher_7b", ["w:int4g;pallas"],
                        ["--batcher", "--skip_bf16"], gate=300, note="serve")
+    _emit(rec)
+    # BASELINE config #4 capacity row: 13B 4-bit decode on the single chip
+    # where bf16-13B (26 GB > 16 GB HBM) cannot exist; no bf16 ratio by
+    # construction — the absolute tok/s + packed audit is the field
+    _run_7b_subprocess(rec, "decode_13b", ["w:int4g;pallas"],
+                       ["--preset", "llama2_13b", "--skip_bf16"],
+                       gate=240, note="13b")
     _cached_7b_fields(rec)
 
 
