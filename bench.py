@@ -461,7 +461,9 @@ def _compact(rec):
         if k.startswith(live_prefixes) and (
                 k.endswith(("_tokens_per_s", "_vs_baseline"))):
             c[_short(k)] = v
-        elif k.startswith("cached_") and k.endswith("_vs_baseline"):
+        elif k.startswith("cached_") and k.endswith(
+                ("_vs_baseline", "_tokens_per_s")):
+            # purge guarantees no live counterpart exists for these
             c["c" + _short(k[len("cached_"):])] = v
     c["live7b"] = any(k.startswith("decode_7b_") for k in rec)
     if "decode_7b_int4g_kpair_fallback_leaves" in rec:
