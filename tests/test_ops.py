@@ -1291,6 +1291,33 @@ def test_int4gk_dispatch_policy():
     jax.clear_caches()
 
 
+def test_nf4k_and_lns4k_dispatch_policy():
+    """Round-4 measured dispatch: nf4k takes its fused kernel at 7B-class
+    decode shapes (0.565x vs chunked-XLA's 0.504x — the single packed read
+    wins even under the LUT decode), while lns4k stays XLA-everywhere (its
+    chunked-XLA 1.027x beats its fused kernel's 0.84x). BASELINE.md round-4
+    kpair table."""
+    from llm_lns_quantization_tpu.ops import matmul as qmm
+    from llm_lns_quantization_tpu.ops.packing import pack_lns4k, pack_nf4k
+
+    w = jnp.asarray(rand((4096, 4096), seed=67, scale=0.02))
+    nf = pack_nf4k(w)
+    l4 = pack_lns4k(w)
+    x = jnp.zeros((8, 4096), jnp.bfloat16)
+
+    j_nf = str(jax.make_jaxpr(
+        lambda a, p, s: qmm.nf4k_matmul(a, p, s))(x, nf.packed, nf.bscale))
+    assert "pallas_call" in j_nf            # nf4k 7B decode: fused kernel
+    j_nf_score = str(jax.make_jaxpr(
+        lambda a, p, s: qmm.nf4k_matmul(a, p, s))(
+            jnp.zeros((2048, 4096), jnp.bfloat16), nf.packed, nf.bscale))
+    assert "pallas_call" not in j_nf_score  # score regime: XLA
+    j_l4 = str(jax.make_jaxpr(
+        lambda a, p: qmm.lns4k_matmul(a, p))(x, l4.packed))
+    assert "pallas_call" not in j_l4        # lns4k: chunked XLA everywhere
+    jax.clear_caches()
+
+
 def test_askip_site_opt_out():
     """``askip:site1|site2`` leaves named activation sites unquantized
     (round-3 knob: the lm_head site alone is 22 points of emulation
