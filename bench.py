@@ -345,10 +345,13 @@ def _cached_7b_fields(rec):
             if kind is None:
                 continue
             prev = latest.get((kind, r.get("format")))
-            # newest row wins, except a default-dispatch row always beats an
-            # env-override (forced-path) experiment row
-            if (prev is not None and "env_overrides" not in prev
-                    and "env_overrides" in r):
+            # newest row wins, except a default-dispatch default-geometry
+            # row always beats an env-override (forced-path) or
+            # non-default-geometry (long-context) experiment row
+            exp = ("env_overrides" in r) or ("geometry" in r)
+            prev_exp = prev is not None and (
+                "env_overrides" in prev or "geometry" in prev)
+            if prev is not None and not prev_exp and exp:
                 continue
             latest[(kind, r.get("format"))] = r
     n = 0

@@ -124,6 +124,10 @@ def main():
     ap.add_argument("--preset", default="llama2_7b",
                     help="LlamaConfig classmethod preset (llama2_7b / "
                          "llama2_13b)")
+    ap.add_argument("--prompt", type=int, default=128,
+                    help="decode-mode prompt length (long-context KV rows)")
+    ap.add_argument("--steps", type=int, default=32,
+                    help="decode-mode generated tokens per measurement")
     args = ap.parse_args()
 
     tpu = jax.devices()[0]
@@ -147,7 +151,7 @@ def main():
             quant_sites=llama.QUANT_SITES,
         )
 
-    DB, DP, DS = 8, 128, 32
+    DB, DP, DS = 8, args.prompt, args.steps
     SB, ST = 8, 1024
     rng = np.random.default_rng(1)
     prompt = jnp.asarray(rng.integers(0, 32000, (DB, DP)).astype(np.int32))
@@ -191,6 +195,11 @@ def main():
         ov = {k: v for k, v in os.environ.items() if k.startswith("LLMQ_")}
         if ov:
             rec["env_overrides"] = ov
+        if (DP, DS) != (128, 32) and not (args.score or args.batcher):
+            # non-default decode geometry (long-context KV rows): mark it so
+            # bench.py's cached-7B surfacing never mistakes these for the
+            # standard 128/32 rows
+            rec["geometry"] = f"p{DP}s{DS}"
         print(json.dumps(rec), flush=True)
         # persist for bench.py's cached-7B surfacing: a driver bench window
         # too short for a live 7B pass still reports the latest
