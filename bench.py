@@ -287,7 +287,7 @@ def _section_7b(rec):
         if f"decode_7b_{tagf}_tokens_per_s" in rec:
             continue
         got = _run_7b_subprocess(
-            rec, "decode_7b", [spec], ["--skip_bf16"], gate=240, note=tagf)
+            rec, "decode_7b", [spec], ["--skip_bf16"], gate=150, note=tagf)
         if got and base:
             k = f"decode_7b_{tagf}_tokens_per_s"
             if k in rec:
@@ -295,19 +295,19 @@ def _section_7b(rec):
                     rec[k] / base, 4)
         _emit(rec)
     _run_7b_subprocess(rec, "score_7b", ["w:w8a8;pallas"], ["--score"],
-                       gate=300, note="score")
+                       gate=150, note="score")
     _emit(rec)
     # serving tier end-to-end: the ContinuousBatcher at 7B with the
     # flagship format (VERDICT r3 item #7 bench field)
     _run_7b_subprocess(rec, "batcher_7b", ["w:int4g;pallas"],
-                       ["--batcher", "--skip_bf16"], gate=300, note="serve")
+                       ["--batcher", "--skip_bf16"], gate=200, note="serve")
     _emit(rec)
     # BASELINE config #4 capacity row: 13B 4-bit decode on the single chip
     # where bf16-13B (26 GB > 16 GB HBM) cannot exist; no bf16 ratio by
     # construction — the absolute tok/s + packed audit is the field
     _run_7b_subprocess(rec, "decode_13b", ["w:int4g;pallas"],
                        ["--preset", "llama2_13b", "--skip_bf16"],
-                       gate=240, note="13b")
+                       gate=150, note="13b")
     _cached_7b_fields(rec)
 
 
@@ -344,14 +344,16 @@ def _cached_7b_fields(rec):
             kind = next((k for k in r if k.endswith("tokens_per_s")), None)
             if kind is None:
                 continue
+            if "geometry" in r:
+                # non-default decode geometry (long-context KV rows): they
+                # live in BASELINE.md with their context length; surfacing
+                # them next to 128/32 rows would invite bogus comparisons
+                continue
             prev = latest.get((kind, r.get("format")))
-            # newest row wins, except a default-dispatch default-geometry
-            # row always beats an env-override (forced-path) or
-            # non-default-geometry (long-context) experiment row
-            exp = ("env_overrides" in r) or ("geometry" in r)
-            prev_exp = prev is not None and (
-                "env_overrides" in prev or "geometry" in prev)
-            if prev is not None and not prev_exp and exp:
+            # newest row wins, except a default-dispatch row always beats an
+            # env-override (forced-path) experiment row
+            if (prev is not None and "env_overrides" not in prev
+                    and "env_overrides" in r):
                 continue
             latest[(kind, r.get("format"))] = r
     n = 0
