@@ -59,7 +59,10 @@ _VMEM_BUDGET = 8 * 2**20
 # in-model tuning sweeps can override without threading args everywhere
 # (jit reads them at trace time; jax.clear_caches() forces a re-read)
 _DEFAULT_BLOCK_M = 512
-_DEFAULT_BLOCK_N = 512
+try:  # env-tunable for on-chip block sweeps (scripts/bench_serving_7b.py)
+    _DEFAULT_BLOCK_N = int(__import__("os").environ.get("LLMQ_BLOCK_N", 512))
+except ValueError:
+    _DEFAULT_BLOCK_N = 512
 _FORCE_KTILED = False
 
 
