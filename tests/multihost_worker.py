@@ -7,9 +7,12 @@ Each process joins a 2-process CPU gloo group via
 slice and the results are all-gathered. Both processes must therefore emit
 results identical to each other AND to a plain single-process run.
 
-Usage: python multihost_worker.py PORT PROCESS_ID NUM_PROCESSES OUT_JSON DATA_DIR
+Usage: python multihost_worker.py PORT PROCESS_ID NUM_PROCESSES OUT_JSON \
+           DATA_DIR [QUANT_SPEC]
 (NUM_PROCESSES=1 produces the single-process oracle in the same
-environment/codepath.)
+environment/codepath; QUANT_SPEC — e.g. ``w:int4g;pallas`` — runs the
+eval on that quantization config, certifying the packed serving tier
+under jax.distributed.)
 """
 
 import json
@@ -18,6 +21,7 @@ import sys
 
 def main():
     port, pid, nproc, out_path, data_dir = sys.argv[1:6]
+    quant = sys.argv[6] if len(sys.argv) > 6 else None
     pid, nproc = int(pid), int(nproc)
 
     import jax
@@ -38,9 +42,12 @@ def main():
 
     from llm_lns_quantization_tpu.harness.evaluator import simple_evaluate
 
+    margs = "family=gpt2,preset=tiny,dtype=float32,batch_size=2,seed=7"
+    if quant:
+        margs += f",quant={quant}"
     out = simple_evaluate(
         model="tpu",
-        model_args="family=gpt2,preset=tiny,dtype=float32,batch_size=2,seed=7",
+        model_args=margs,
         tasks=["piqa", "boolq", "wikitext"],
         num_fewshot=0,
         no_cache=True,

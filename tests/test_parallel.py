@@ -666,9 +666,12 @@ def test_two_process_distributed_eval_matches_single(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
     def launch(port, pid, nproc, out):
+        # the eval runs on the PACKED flagship format (round 4): the
+        # 2-process == 1-process parity below then certifies the packed
+        # serving tier itself under jax.distributed, not just bf16
         return subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), str(nproc),
-             out, data_dir],
+             out, data_dir, "w:int4g;pallas"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
