@@ -223,7 +223,10 @@ def _run_7b_subprocess(rec, tag, formats, extra, gate, note):
 
     remaining = _remaining()
     if remaining < gate:
-        rec[f"skipped_{tag}"] = f"budget ({int(remaining)}s < gate {gate}s)"
+        # note in the key: several 7B formats share a tag, and an un-noted
+        # key would overwrite earlier skips (ADVICE.md r4)
+        rec[f"skipped_{tag}_{note}"] = (
+            f"budget ({int(remaining)}s < gate {gate}s)")
         return False
     cmd = [sys.executable, "scripts/bench_serving_7b.py", *formats, *extra]
     stdout = ""

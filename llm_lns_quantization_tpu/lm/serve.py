@@ -36,6 +36,7 @@ size):
 """
 
 import functools
+import time
 from typing import List, Optional, Sequence
 
 import jax
@@ -205,6 +206,21 @@ class ContinuousBatcher:
         """
         S, L = self.slots, self.max_len
         params = self.bundle.params
+        # phase attribution (VERDICT r4 item 2): every phase below ends at a
+        # host sync (device_get) or is pure host work, so perf_counter
+        # spans are honest wall shares. Exposed as self.last_stats after
+        # each generate(); scripts/bench_serving_7b.py --batcher prints it.
+        st = {
+            "t_admit_build": 0.0,   # host: queue pop + numpy assembly
+            "t_prefill": 0.0,       # prefill dispatch + scatter + first sync
+            "t_chunk": 0.0,         # decode-chunk dispatch + result fetch
+            "t_account": 0.0,       # host: emitted-token accounting
+            "n_chunks": 0, "n_prefill_dispatches": 0,
+            "prefill_rows": 0, "prefill_padded_tokens": 0,
+            "executed_steps": 0, "slot_steps": 0, "emitted_tokens": 0,
+            "admitted": 0,
+        }
+        t_start = time.perf_counter()
         # on-device stop lookup; -2 sentinel keeps the array non-empty
         stop_arr = jnp.asarray(
             sorted(set(int(t) for t in stop_ids)) or [-2], jnp.int32
@@ -226,6 +242,7 @@ class ContinuousBatcher:
         while pending or active.any():
             # admission: fill free slots from the queue; same-bucket
             # admissions share one batched prefill dispatch + one scatter
+            t0 = time.perf_counter()
             admits = []  # (rid, slot, ids, padded)
             while pending and not active.all():
                 rid = pending.pop(0)
@@ -243,6 +260,9 @@ class ContinuousBatcher:
             by_bucket = {}
             for adm in admits:
                 by_bucket.setdefault(adm[3], []).append(adm)
+            st["t_admit_build"] += time.perf_counter() - t0
+            st["admitted"] += len(admits)
+            t0 = time.perf_counter()
             for padded, group in sorted(by_bucket.items()):
                 n = len(group)
                 n_pad = 1
@@ -268,8 +288,13 @@ class ContinuousBatcher:
                 first_host = np.asarray(jax.device_get(first))
                 for j, (rid, s, ids, _) in enumerate(group):
                     cur[s] = int(first_host[j])
+                st["n_prefill_dispatches"] += 1
+                st["prefill_rows"] += n
+                st["prefill_padded_tokens"] += n_pad * padded
+            st["t_prefill"] += time.perf_counter() - t0
 
             # one fused multi-step decode chunk over the whole pool
+            t0 = time.perf_counter()
             cache, lengths, valid, cur_t, act_t, budget_t, out = self._chunk(
                 params, cache, lengths, valid,
                 jnp.asarray(cur), jnp.asarray(active), jnp.asarray(budget),
@@ -283,7 +308,18 @@ class ContinuousBatcher:
             act_host = np.array(act_host)
             cur = np.array(cur)
             budget = np.array(budget)
+            st["t_chunk"] += time.perf_counter() - t0
 
+            t0 = time.perf_counter()
+            emitted = (out_host >= 0).sum(axis=1)
+            st["n_chunks"] += 1
+            # while_loop iterations this chunk = longest active prefix
+            # (rows emit every step they are active; the loop exits once no
+            # row is) — the per-chunk denominator for occupancy
+            exe = int(emitted.max()) if emitted.size else 0
+            st["executed_steps"] += exe
+            st["slot_steps"] += exe * S
+            st["emitted_tokens"] += int(emitted.sum())
             for s in range(S):
                 if slot_req[s] < 0:
                     continue
@@ -295,5 +331,11 @@ class ContinuousBatcher:
                 if not act_host[s]:
                     slot_req[s] = -1
             active = act_host.copy()
+            st["t_account"] += time.perf_counter() - t0
 
+        st["wall_s"] = time.perf_counter() - t_start
+        st["occupancy"] = (
+            st["emitted_tokens"] / st["slot_steps"] if st["slot_steps"] else 0.0
+        )
+        self.last_stats = st
         return outputs

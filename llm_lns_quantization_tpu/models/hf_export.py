@@ -75,3 +75,75 @@ def save_gpt2_checkpoint(cfg, params, out_dir: str, eos_token_id: int = 0) -> No
     }
     with open(os.path.join(out_dir, "config.json"), "w", encoding="utf-8") as f:
         json.dump(cfg_json, f, indent=2)
+
+
+def save_opt_checkpoint(cfg, params, out_dir: str, eos_token_id: int = 0) -> None:
+    """Write an HF ``OPTForCausalLM`` checkpoint (inverse of
+    hf_loader._load_opt). Linear weights are stored [out, in] as HF
+    ``nn.Linear`` does — the transpose of our dense layout — and lm_head
+    stays tied to embed_tokens (omitted, as HF does). Exists so the config-#2
+    accuracy experiment (BASELINE.json: OPT family) runs on a checkpoint that
+    went through the same 8k-step protocol as the GPT-2 one, proving the
+    accuracy machinery isn't a gpt2-code-path artifact (VERDICT r4 item 4)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def f32(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def lin(pre, p):
+        return {pre + ".weight": f32(p["w"]).T, pre + ".bias": f32(p["b"])}
+
+    t = {
+        "model.decoder.embed_tokens.weight": f32(params["embed"]),
+        "model.decoder.embed_positions.weight": f32(params["embed_pos"]),
+    }
+    if "final_ln" in params:
+        t["model.decoder.final_layer_norm.weight"] = f32(params["final_ln"]["g"])
+        t["model.decoder.final_layer_norm.bias"] = f32(params["final_ln"]["b"])
+    if "project_in" in params:
+        t["model.decoder.project_in.weight"] = f32(params["project_in"]).T
+        t["model.decoder.project_out.weight"] = f32(params["project_out"]).T
+    for i, blk in enumerate(params["layers"]):
+        pre = f"model.decoder.layers.{i}."
+        t[pre + "self_attn_layer_norm.weight"] = f32(blk["self_attn_ln"]["g"])
+        t[pre + "self_attn_layer_norm.bias"] = f32(blk["self_attn_ln"]["b"])
+        t[pre + "final_layer_norm.weight"] = f32(blk["final_ln"]["g"])
+        t[pre + "final_layer_norm.bias"] = f32(blk["final_ln"]["b"])
+        t.update(lin(pre + "self_attn.q_proj", blk["q_proj"]))
+        t.update(lin(pre + "self_attn.k_proj", blk["k_proj"]))
+        t.update(lin(pre + "self_attn.v_proj", blk["v_proj"]))
+        t.update(lin(pre + "self_attn.out_proj", blk["out_proj"]))
+        t.update(lin(pre + "fc1", blk["fc1"]))
+        t.update(lin(pre + "fc2", blk["fc2"]))
+
+    save_file(t, os.path.join(out_dir, "model.safetensors"))
+
+    cfg_json = {
+        "architectures": ["OPTForCausalLM"],
+        "model_type": "opt",
+        "activation_function": "relu",
+        "vocab_size": cfg.vocab_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "hidden_size": cfg.hidden_size,
+        "ffn_dim": cfg.ffn_dim,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "word_embed_proj_dim": cfg.proj_dim,
+        "do_layer_norm_before": cfg.do_layer_norm_before,
+        "layer_norm_elementwise_affine": True,
+        "dropout": 0.0,
+        "attention_dropout": 0.0,
+        "init_std": 0.02,
+        "bos_token_id": eos_token_id,
+        "eos_token_id": eos_token_id,
+        "pad_token_id": eos_token_id,
+        "tie_word_embeddings": True,
+        "torch_dtype": "float32",
+    }
+    with open(os.path.join(out_dir, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(cfg_json, f, indent=2)
+
+
+SAVERS = {"gpt2": save_gpt2_checkpoint, "opt": save_opt_checkpoint}

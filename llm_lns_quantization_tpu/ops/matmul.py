@@ -664,7 +664,8 @@ _INT4GK_FUSED_MIN_WEIGHT = _env_int("LLMQ_INT4GK_FUSED_MIN_WEIGHT",
 # chunked-XLA 0.504x (the packed-word LUT decode dominates either way, but
 # the kernel's single packed read wins) — so 7B-class decode shapes take
 # the kernel, same 12M threshold rationale as int4gk. lns4k stays
-# XLA-everywhere: its chunked-XLA 0.936x beats its fused kernel's 0.77x.
+# XLA-everywhere: its chunked-XLA 1.027x beats its fused kernel's 0.84x
+# (round-4 minimal-op decode numbers, BASELINE.md kpair table).
 _NF4K_FUSED_MIN_WEIGHT = _env_int("LLMQ_NF4K_FUSED_MIN_WEIGHT",
                                   12_000_000)
 
@@ -704,6 +705,35 @@ def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
             f"{_KPAIR_XLA_CHUNK_ELEMS}-element fusion budget; decode "
             "materialization may recur on this layer")
     return min(K2, max(align, _KPAIR_XLA_CHUNK_ELEMS // N // align * align))
+
+
+def _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype):
+    """Score/prefill-regime kpair path: decode the packed plane ONCE to an
+    interleaved bf16 [K, N] scratch and run a single XLA dot.
+
+    In the compute-bound regime (M >= _XLA_DOT_MIN_M) the matmul itself
+    dominates, and what made the chunked fallback ~0.5x bf16 there (7B score
+    rows, BASELINE.md round 4: int4gk 0.542x, lns4k 0.597x) was not the
+    decode but the partial-sum traffic — every per-chunk ``y = y + dot(...)``
+    round-trips the [M, N] f32 accumulator through HBM, and at score-M that
+    accumulator is 10-100x the weight plane (M=8192, N=11008: 344 MB vs a
+    44 MB bf16 plane). Deliberately materializing the decoded plane costs
+    ~3 plane-sized HBM touches once, then a single dot with zero
+    accumulator round-trips. The anti-materialization chunking
+    (_xla_kpair_dot) remains the decode-M fallback, where the [M, N]
+    accumulator is tiny and the packed read is the whole game. This is the
+    harness's hottest path — loglikelihood scoring, reference
+    lm_eval/base.py:271-409 — so the dispatch is regression-tested
+    (tests/test_ops.py::test_kpair_score_regime_dispatch)."""
+    K2, N = packed.shape
+    u = packed.astype(jnp.int32)
+    lo = plane(u & 0xF, 0)
+    hi = plane((u >> 4) & 0xF, 0)
+    # kpair row i holds k=2i (low nibble) and k=2i+1 (high): interleave
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N).astype(jnp.bfloat16)
+    y = jnp.dot(x.astype(jnp.bfloat16), w,
+                preferred_element_type=jnp.float32) + b2d
+    return y.astype(out_dtype)
 
 
 def _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=8):
@@ -749,7 +779,10 @@ def _kpair_matmul(x, packed, nib_decode, block_m, block_n, out_dtype, bias):
     assert K == K2 * 2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
+    if M >= _XLA_DOT_MIN_M:
+        return _xla_kpair_once_dot(x, packed, lambda u, s: nib_decode(u),
+                                   b2d, out_dtype)
+    if (K * N < _KPAIR_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
         return _xla_kpair_dot(x, packed, lambda u, s: nib_decode(u),
                               b2d, out_dtype)
@@ -860,6 +893,8 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
             g0, g1 = s // rpg, s // rpg + nib.shape[0] // rpg
             return _int4gk_plane(nib, scale[g0:g1], zero[g0:g1], rpg)
 
+        if M >= _XLA_DOT_MIN_M:
+            return _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype)
         return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpg)
     block_m = min(block_m, M)
     block_n = min(block_n, N)
@@ -952,6 +987,8 @@ def nf4k_matmul(x, packed, bscale, block_size=64, block_m=None,
             b0, b1 = s // rpb, s // rpb + nib.shape[0] // rpb
             return _nf4k_plane(nib, bscale[b0:b1], rpb)
 
+        if M >= _XLA_DOT_MIN_M:
+            return _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype)
         return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpb)
     block_m = min(block_m, M)
     block_n = min(block_n, N)

@@ -175,6 +175,16 @@ def main():
             t0 = time.time()
             outs = cb.generate(reqs, max_new_tokens=DS)
             dt = time.time() - t0
+            # phase attribution (VERDICT r4 item 2): where the wall time of
+            # a standard batcher run goes — prefill+scatter+sync vs decode
+            # chunks vs host admission/accounting
+            stats = dict(cb.last_stats)
+            stats["phase_shares"] = {
+                k: round(stats[k] / stats["wall_s"], 4)
+                for k in ("t_admit_build", "t_prefill", "t_chunk",
+                          "t_account")
+            }
+            print("# batcher_stats " + json.dumps(stats), flush=True)
             return sum(len(o) for o in outs) / dt
         if args.score:
             return _throughput(_score_fn(bundle, actq), bundle.params,

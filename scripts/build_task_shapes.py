@@ -98,12 +98,26 @@ def main():
         ctx_words, true_end = words[:-12], words[-12:]
         distractors = []
         seen = {di}
-        while len(distractors) < 3:
-            dj, alt = _passages(docs, rng, 1, min_words=14, max_words=18)[0]
+        # bounded: a sparse corpus (< 4 distinct eligible docs) must fail
+        # with a clear message, not loop forever or IndexError on an empty
+        # _passages draw (ADVICE.md r4)
+        for _ in range(200):
+            if len(distractors) >= 3:
+                break
+            drawn = _passages(docs, rng, 1, min_words=14, max_words=18)
+            if not drawn:
+                continue
+            dj, alt = drawn[0]
             if dj in seen:
                 continue
             seen.add(dj)
             distractors.append(" ".join(alt.split()[:12]))
+        if len(distractors) < 3:
+            raise SystemExit(
+                "hellaswag shapes need >= 4 distinct docs with a 14-18 word "
+                f"span; corpus has too few (got {len(distractors)} "
+                "distractors after 200 draws) — enlarge the corpus or lower "
+                "--n")
         endings = distractors[:]
         label = rng.randrange(4)
         endings.insert(label, " ".join(true_end))

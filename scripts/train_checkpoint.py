@@ -87,6 +87,10 @@ def main(argv=None):
     ap.add_argument("--corpus", default="corpus")
     ap.add_argument("--out", default="checkpoints/gpt2-124m-local")
     ap.add_argument("--vocab", type=int, default=50257)
+    ap.add_argument("--family", default="gpt2", choices=["gpt2", "opt"],
+                    help="model family to train (hf_export.SAVERS keys); "
+                    "opt runs the same protocol through models/opt.py for "
+                    "the BASELINE config-#2 accuracy experiment")
     ap.add_argument("--preset", default="small")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=1024)
@@ -111,7 +115,7 @@ def main(argv=None):
     import optax
 
     from llm_lns_quantization_tpu.models import build_model
-    from llm_lns_quantization_tpu.models.hf_export import save_gpt2_checkpoint
+    from llm_lns_quantization_tpu.models.hf_export import SAVERS
     from llm_lns_quantization_tpu.parallel import make_mesh, make_train_step, shard_params
     from llm_lns_quantization_tpu.parallel.mesh import data_sharding
 
@@ -119,9 +123,13 @@ def main(argv=None):
     stream = build_or_load_tokens(args.corpus, args.out, tok)
     print(f"token stream: {stream.size} tokens", flush=True)
 
+    if args.family == "gpt2":
+        overrides = {"vocab_size": args.vocab, "n_positions": args.seq}
+    else:  # opt
+        overrides = {"vocab_size": args.vocab, "max_position_embeddings": args.seq}
     bundle = build_model(
-        family="gpt2", preset=args.preset, dtype=jnp.float32, seed=args.seed,
-        config_overrides={"vocab_size": args.vocab, "n_positions": args.seq},
+        family=args.family, preset=args.preset, dtype=jnp.float32,
+        seed=args.seed, config_overrides=overrides,
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(bundle.params))
     print(f"model: {n_params/1e6:.1f}M params", flush=True)
@@ -176,11 +184,12 @@ def main(argv=None):
                 break
 
     final = jax.device_get(params)
-    save_gpt2_checkpoint(
+    SAVERS[args.family](
         bundle.cfg, final, args.out,
         eos_token_id=tok.convert_tokens_to_ids(EOT),
     )
     meta = {"steps_done": done, "final_loss": float(jax.device_get(loss)),
+            "family": args.family,
             "batch": args.batch, "seq": args.seq, "params_m": n_params / 1e6,
             "corpus_tokens": int(stream.size)}
     with open(os.path.join(args.out, "train_meta.json"), "w") as f:
