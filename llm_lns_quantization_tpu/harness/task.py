@@ -50,6 +50,23 @@ class Task(abc.ABC):
                 return
         import datasets
 
+        from ..datasets import hub_builder
+
+        # 12 dataset families the reference loaded via hand-written builder
+        # scripts (lm_eval/datasets/): resolve to this package's builders so
+        # a networked deployment downloads from the original sources instead
+        # of depending on a hub mirror (--data_dir fixtures remain the
+        # offline default above)
+        local_cls = hub_builder(self.DATASET_PATH)
+        if local_cls is not None:
+            builder = local_cls(
+                config_name=self.DATASET_NAME,
+                cache_dir=cache_dir,
+                data_dir=data_dir,
+            )
+            builder.download_and_prepare(download_mode=download_mode)
+            self.dataset = builder.as_dataset()
+            return
         self.dataset = datasets.load_dataset(
             path=self.DATASET_PATH,
             name=self.DATASET_NAME,

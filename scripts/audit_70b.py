@@ -96,7 +96,7 @@ def main():
 
     from llm_lns_quantization_tpu.quant.apply import NULL_ACT_QUANT
 
-    def compile_variant(tag, params_sds, actq=None):
+    def compile_variant(tag, params_sds, actq=None, kv_quant=False):
         actq = NULL_ACT_QUANT if actq is None else actq
         specs = param_partition_specs(params_sds, "llama", mp)
         sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
@@ -125,8 +125,11 @@ def main():
         print(tag, json.dumps(rec), flush=True)
 
         # decode: one token against a full-length head-sharded KV cache
-        cache_sds = jax.eval_shape(lambda: llama.init_cache(cfg, args.batch,
-                                                            args.seq))
+        # (kv_quant: the int8/fp8 quantized pool — codes AND scale leaves
+        # both carry heads at dim 1, so one spec covers the tree)
+        cache_sds = jax.eval_shape(
+            lambda: llama.init_cache(cfg, args.batch, args.seq,
+                                     kv_quant=kv_quant))
         cache_sh = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P(None, "model")), cache_sds
         )
@@ -169,6 +172,21 @@ def main():
 
     # activation fake-quant (e.g. config #4's a:vsquant) rides the forward
     compile_variant(qtag, qsds, actq=ActQuantizer(quant))
+
+    if args.preset == "llama2_70b":
+        # BASELINE config #5's LITERAL spec (BASELINE.md:37, VERDICT r4
+        # item 3): lns4 packed weights + fp8 activation fake-quant + int8
+        # KV cache, forward AND decode, asserted all-gather-free. Expect
+        # ~quartered arg bytes vs bf16 (0.5 B/elem nibble planes).
+        spec5 = QuantConfig.parse("w:lns4;a:fp8;kv:int8;pallas")
+        q5sds = jax.eval_shape(lambda p: quantize_weights(p, spec5), sds)
+        rep5 = packed_leaf_report(q5sds)
+        out["config5_spec"] = spec5.describe()
+        out["config5_packed_leaves"] = rep5["packed_leaves"]
+        out["config5_fallback_leaves"] = rep5["fallback_leaves"]
+        assert rep5["fallback_leaves"] == 0
+        compile_variant("config5_lns4_fp8_int8kv", q5sds,
+                        actq=ActQuantizer(spec5), kv_quant="int8")
 
     out["ts"] = int(time.time())
     with open(args.out, "w") as f:
