@@ -648,6 +648,15 @@ def _env_int(name: str, default: int) -> int:
 
 
 _KPAIR_FUSED_MIN_WEIGHT = _env_int("LLMQ_KPAIR_FUSED_MIN_WEIGHT", 1 << 62)
+# Above this M the kpair XLA fallback decodes the plane ONCE (materialized
+# single-dot, _xla_kpair_once_dot) instead of chunking: the once-dot's cost
+# is a constant ~2 plane round-trips per forward, the chunked path's is an
+# [M, N] f32 partial-sum round-trip per chunk that scales with M. Measured
+# at 7B (BASELINE.md round 5): M=8192 once-dot 0.820-0.853x bf16 vs chunked
+# 0.542-0.597x; M=1024 (the 128-token prefill inside the decode loop) the
+# ordering flips (decode row 433 -> 379 tok/s when once-dot is applied
+# there). Crossover from the two cost models is ~M=2000.
+_KPAIR_ONCE_DOT_MIN_M = _env_int("LLMQ_KPAIR_ONCE_DOT_MIN_M", 2048)
 # int4gk gets its own production threshold: its affine band broadcast is the
 # one kpair decode XLA refuses to fuse at 7B plane sizes (0.33x bf16
 # in-model), while its in-kernel decode (upcast-mul-add) is the cheapest of
@@ -708,8 +717,8 @@ def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
 
 
 def _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype):
-    """Score/prefill-regime kpair path: decode the packed plane ONCE to an
-    interleaved bf16 [K, N] scratch and run a single XLA dot.
+    """Score/prefill-regime kpair path: decode the packed plane ONCE to a
+    bf16 [K, N] scratch and run a single XLA dot.
 
     In the compute-bound regime (M >= _XLA_DOT_MIN_M) the matmul itself
     dominates, and what made the chunked fallback ~0.5x bf16 there (7B score
@@ -718,18 +727,33 @@ def _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype):
     round-trips the [M, N] f32 accumulator through HBM, and at score-M that
     accumulator is 10-100x the weight plane (M=8192, N=11008: 344 MB vs a
     44 MB bf16 plane). Deliberately materializing the decoded plane costs
-    ~3 plane-sized HBM touches once, then a single dot with zero
-    accumulator round-trips. The anti-materialization chunking
-    (_xla_kpair_dot) remains the decode-M fallback, where the [M, N]
-    accumulator is tiny and the packed read is the whole game. This is the
-    harness's hottest path — loglikelihood scoring, reference
-    lm_eval/base.py:271-409 — so the dispatch is regression-tested
+    ~2 plane-sized HBM touches once, then a single dot with zero
+    accumulator round-trips.
+
+    The `stack([lo, hi], 1).reshape` row interleave (kpair row i holds
+    k=2i in the low nibble, k=2i+1 in the high) measured BEST of every
+    layout tried at 7B score (BASELINE.md round-5 layout table, int4gk):
+    stack-interleave 0.820x bf16; register-interleave via broadcast +
+    iota-parity shift 0.576x (variable per-element shifts devectorize);
+    contiguous concat with permuted activations 0.702x; two dots without
+    relayout 0.688x; the fused Mosaic kernel at score-M 0.620x; and an
+    invalid-numerics contiguous-write probe bounds the layout headroom at
+    0.854x — the residual vs bf16 is the decode + plane round-trip itself,
+    constant per forward (so it amortizes with M), not the interleave.
+    ``plane(nib [K2, N], s) -> [K2, N]`` applies the format's value decode
+    to one nibble half-plane (``s``: first packed row, for band slicing —
+    always 0 here since the full plane decodes at once).
+
+    The anti-materialization chunking (_xla_kpair_dot) remains the
+    decode-M fallback, where the [M, N] accumulator is tiny and the packed
+    read is the whole game. This is the harness's hottest path —
+    loglikelihood scoring, reference lm_eval/base.py:271-409 — so the
+    dispatch is regression-tested
     (tests/test_ops.py::test_kpair_score_regime_dispatch)."""
     K2, N = packed.shape
     u = packed.astype(jnp.int32)
     lo = plane(u & 0xF, 0)
     hi = plane((u >> 4) & 0xF, 0)
-    # kpair row i holds k=2i (low nibble) and k=2i+1 (high): interleave
     w = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N).astype(jnp.bfloat16)
     y = jnp.dot(x.astype(jnp.bfloat16), w,
                 preferred_element_type=jnp.float32) + b2d
@@ -779,11 +803,12 @@ def _kpair_matmul(x, packed, nib_decode, block_m, block_n, out_dtype, bias):
     assert K == K2 * 2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if M >= _XLA_DOT_MIN_M:
-        return _xla_kpair_once_dot(x, packed, lambda u, s: nib_decode(u),
-                                   b2d, out_dtype)
-    if (K * N < _KPAIR_FUSED_MIN_WEIGHT
+    if (M >= _XLA_DOT_MIN_M or K * N < _KPAIR_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
+        if M >= _KPAIR_ONCE_DOT_MIN_M:
+            return _xla_kpair_once_dot(x, packed,
+                                       lambda u, s: nib_decode(u),
+                                       b2d, out_dtype)
         return _xla_kpair_dot(x, packed, lambda u, s: nib_decode(u),
                               b2d, out_dtype)
     block_m = min(block_m, M)
@@ -893,7 +918,7 @@ def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
             g0, g1 = s // rpg, s // rpg + nib.shape[0] // rpg
             return _int4gk_plane(nib, scale[g0:g1], zero[g0:g1], rpg)
 
-        if M >= _XLA_DOT_MIN_M:
+        if M >= _KPAIR_ONCE_DOT_MIN_M:
             return _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype)
         return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpg)
     block_m = min(block_m, M)
@@ -987,7 +1012,7 @@ def nf4k_matmul(x, packed, bscale, block_size=64, block_m=None,
             b0, b1 = s // rpb, s // rpb + nib.shape[0] // rpb
             return _nf4k_plane(nib, bscale[b0:b1], rpb)
 
-        if M >= _XLA_DOT_MIN_M:
+        if M >= _KPAIR_ONCE_DOT_MIN_M:
             return _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype)
         return _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=rpb)
     block_m = min(block_m, M)

@@ -45,14 +45,66 @@ def code_to_language(code: str) -> str:
     return _LANG_NAMES.get(code, code)
 
 
+def _char_class(ch: str) -> str:
+    """Coarse script class for the no-dependency CJK segmentation fallback."""
+    o = ord(ch)
+    if 0x3040 <= o <= 0x309F:
+        return "hira"
+    if 0x30A0 <= o <= 0x30FF or o == 0x30FC:
+        return "kata"
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+        return "han"
+    if ch.isspace():
+        return "sp"
+    if ch.isascii():
+        return "ascii"
+    return "other"
+
+
+def _class_segment(text: str, han_per_char: bool = False) -> List[str]:
+    """Split on script-class transitions (optionally every han char its own
+    token — the common zh-BLEU convention). A coarse stand-in for the
+    jieba/nagisa morphological segmenters when they are not installed:
+    segmentation granularity differs from theirs, so absolute BLEU is not
+    comparable with nagisa/jieba-segmented literature numbers, but
+    references and hypotheses are segmented identically within a run."""
+    out, cur, cls = [], "", None
+    for ch in text:
+        c = _char_class(ch)
+        if c == "sp":
+            if cur:
+                out.append(cur)
+            cur, cls = "", None
+            continue
+        if (han_per_char and c == "han") or (cls is not None and c != cls):
+            if cur:
+                out.append(cur)
+            cur = ""
+        cur += ch
+        cls = None if (han_per_char and c == "han") else c
+        if han_per_char and c == "han":
+            out.append(cur)
+            cur = ""
+    if cur:
+        out.append(cur)
+    return out
+
+
 def zh_split(zh_text: List[str]) -> List[str]:
-    import jieba
+    try:
+        import jieba
+    except ImportError:  # offline fallback: per-han-char segmentation
+        return [" ".join(_class_segment(t.strip(), han_per_char=True))
+                for t in zh_text]
 
     return [" ".join(jieba.cut(txt.strip())) for txt in zh_text]
 
 
 def ja_split(ja_text: List[str]) -> List[str]:
-    import nagisa
+    try:
+        import nagisa
+    except ImportError:  # offline fallback: script-class segmentation
+        return [" ".join(_class_segment(t.strip())) for t in ja_text]
 
     return [" ".join(nagisa.tagging(txt.strip()).words) for txt in ja_text]
 

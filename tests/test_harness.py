@@ -125,9 +125,11 @@ class SeededLM(DummyLM):
 def test_evaluate_task_with_dummy_lm(task_name, tmp_path):
     """Run every registered task end-to-end on fixtures through a cached fake
     LM twice; results must be identical (proves cache correctness)."""
-    if task_name == "wmt20-en-ja":
-        pytest.skip("ja tokenization needs the nagisa package (offline gate)")
     if task_name in ("quac", "naturalqs"):
+        # PERMANENT: the reference itself ships these two tasks with
+        # construct_requests raising NotImplementedError (prompt-only
+        # write_out stubs, lm_eval/tasks/quac.py / naturalqs.py); completed
+        # quac_gen/naturalqs_gen variants run alongside and ARE covered.
         pytest.skip("prompt-only stub tasks (reference parity)")
     task_dict = fixture_task_dict([task_name])
     lm = CachingLM(SeededLM(), str(tmp_path / "cache.db"))

@@ -1327,14 +1327,17 @@ def test_kpair_score_regime_dispatch():
     path deliberately materializes the decoded plane instead. Invariant:
     exactly one dot_general in the lowered program at score-M for every
     kpair format, and the result matches the dense dot on unpacked weights.
-    Decode-M keeps the anti-materialization chunked path (>= 2 dots)."""
+    Decode-M and mid-M (the 128-token prefill's M=1024, where the chunked
+    path's M-proportional partial sums undercut the once-dot's constant
+    plane round-trip — measured 433 vs 379 tok/s on the 7B decode row)
+    keep the anti-materialization chunked path (>= 2 dots)."""
     from llm_lns_quantization_tpu.ops import matmul as qmm
     from llm_lns_quantization_tpu.ops.packing import (
         pack_fp4k, pack_int4gk, pack_lns4k, pack_nf4k,
         unpack_fp4k, unpack_int4gk, unpack_lns4k, unpack_nf4k,
     )
 
-    M, K, N = 1024, 4096, 256
+    M, K, N = 2048, 4096, 256
     x = jnp.asarray(rand((M, K), seed=71, scale=0.1), jnp.bfloat16)
     w = jnp.asarray(rand((K, N), seed=72, scale=0.05))
 
@@ -1358,13 +1361,14 @@ def test_kpair_score_regime_dispatch():
             preferred_element_type=jnp.float32))
         got = np.asarray(mm(x, q)).astype(np.float32)
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
-    # decode-M on a misaligned (chunk-requiring would need >6M elems; use a
-    # small M with the XLA fallback) still takes the two-dot chunked form
-    x_dec = jnp.zeros((8, K), jnp.bfloat16)
+    # decode-M and prefill-M (1024 < _KPAIR_ONCE_DOT_MIN_M) keep the
+    # two-dot chunked form
     q = cases["lns4k"][0]
-    j_dec = str(jax.make_jaxpr(
-        lambda a: qmm.lns4k_matmul(a, q.packed))(x_dec))
-    assert j_dec.count("dot_general") >= 2
+    for m in (8, 1024):
+        j_dec = str(jax.make_jaxpr(
+            lambda a: qmm.lns4k_matmul(a, q.packed))(
+                jnp.zeros((m, K), jnp.bfloat16)))
+        assert j_dec.count("dot_general") >= 2, m
     jax.clear_caches()
 
 
