@@ -692,9 +692,18 @@ def _kpair_split(x):
 # contraction keeps each decode below the threshold so it stays fused; the
 # extra dots are negligible at decode M. 6M elems = 12 MB bf16.
 _KPAIR_XLA_CHUNK_ELEMS = _env_int("LLMQ_KPAIR_XLA_CHUNK_ELEMS", 6 << 20)
+# Mid-M band (the 128-token prefill: _XLA_DOT_MIN_M <= M <
+# _KPAIR_ONCE_DOT_MIN_M): materialization is no longer catastrophic there
+# (once-dot measures within ~15% of chunked), so the budget relaxes to 24M
+# elements — large enough that every 7B plane decodes in ONE chunk, halving
+# the [M, N] f32 partial-sum passes. Measured: int4gk batcher prefill
+# 559 -> 405 ms, end-to-end 278 -> 301 gen-tok/s (BASELINE.md round 5).
+_KPAIR_XLA_CHUNK_ELEMS_MIDM = _env_int(
+    "LLMQ_KPAIR_XLA_CHUNK_ELEMS_MIDM", 24 << 20)
 
 
-def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
+def _kpair_chunk_rows(K2: int, N: int, align: int,
+                      budget: int = None) -> int:
     """Packed rows per chunk: full K2 when the plane is already small,
     otherwise the largest multiple of ``align`` under the fusion budget.
 
@@ -704,16 +713,18 @@ def _kpair_chunk_rows(K2: int, N: int, align: int) -> int:
     that size. With the production band granularities (align <= 64 packed
     rows) that needs N > ~98k — an order of magnitude beyond any _PACKABLE
     weight (widest today: 70B gateup 57344) — so warn rather than fail."""
-    if K2 * N <= _KPAIR_XLA_CHUNK_ELEMS:
+    if budget is None:
+        budget = _KPAIR_XLA_CHUNK_ELEMS
+    if K2 * N <= budget:
         return K2
-    if align * N > _KPAIR_XLA_CHUNK_ELEMS:
+    if align * N > budget:
         import warnings
 
         warnings.warn(
             f"kpair chunk floor align={align} x N={N} exceeds the "
-            f"{_KPAIR_XLA_CHUNK_ELEMS}-element fusion budget; decode "
+            f"{budget}-element fusion budget; decode "
             "materialization may recur on this layer")
-    return min(K2, max(align, _KPAIR_XLA_CHUNK_ELEMS // N // align * align))
+    return min(K2, max(align, budget // N // align * align))
 
 
 def _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype):
@@ -768,7 +779,9 @@ def _xla_kpair_dot(x, packed, plane, b2d, out_dtype, align=8):
     is ``s`` (formats with per-K-group side bands slice them by ``s``)."""
     xe, xo = _kpair_split(x)
     K2, N = packed.shape
-    rows = _kpair_chunk_rows(K2, N, align)
+    budget = (_KPAIR_XLA_CHUNK_ELEMS_MIDM
+              if x.shape[0] >= _XLA_DOT_MIN_M else None)
+    rows = _kpair_chunk_rows(K2, N, align, budget)
     y = jnp.broadcast_to(b2d, (x.shape[0], N)).astype(jnp.float32)
     for s in range(0, K2, rows):
         u = packed[s:s + rows].astype(jnp.int32)
