@@ -299,6 +299,15 @@ def _section_7b(rec):
         _emit(rec)
     _run_7b_subprocess(rec, "score_7b", ["w:w8a8;pallas"], ["--score"],
                        gate=150, note="score")
+    # the round-5 headline: the 4-bit score regime recovered by the
+    # decode-once dispatch (0.542x -> 0.820x) — measure it live when the
+    # budget allows, else it surfaces cached from BENCH7B.jsonl
+    _run_7b_subprocess(rec, "score_7b", ["w:int4g;pallas"],
+                       ["--score", "--skip_bf16"], gate=120, note="score4b")
+    sbase = rec.get("score_7b_bf16_tokens_per_s")
+    sk = "score_7b_int4g_kpair_tokens_per_s"
+    if sbase and sk in rec:
+        rec["score_7b_int4g_kpair_vs_baseline"] = round(rec[sk] / sbase, 4)
     _emit(rec)
     # serving tier end-to-end: the ContinuousBatcher at 7B with the
     # flagship format (VERDICT r3 item #7 bench field)
