@@ -92,8 +92,15 @@ def save_opt_checkpoint(cfg, params, out_dir: str, eos_token_id: int = 0) -> Non
     def f32(x):
         return np.asarray(x, dtype=np.float32)
 
+    def f32T(x):
+        # ascontiguousarray is load-bearing: safetensors save_file
+        # serializes the raw buffer, and a transposed VIEW's buffer is the
+        # untransposed data — every linear would round-trip transposed
+        # (caught by tests/test_hf_parity.py::test_export_roundtrip_opt)
+        return np.ascontiguousarray(f32(x).T)
+
     def lin(pre, p):
-        return {pre + ".weight": f32(p["w"]).T, pre + ".bias": f32(p["b"])}
+        return {pre + ".weight": f32T(p["w"]), pre + ".bias": f32(p["b"])}
 
     t = {
         "model.decoder.embed_tokens.weight": f32(params["embed"]),
@@ -103,8 +110,8 @@ def save_opt_checkpoint(cfg, params, out_dir: str, eos_token_id: int = 0) -> Non
         t["model.decoder.final_layer_norm.weight"] = f32(params["final_ln"]["g"])
         t["model.decoder.final_layer_norm.bias"] = f32(params["final_ln"]["b"])
     if "project_in" in params:
-        t["model.decoder.project_in.weight"] = f32(params["project_in"]).T
-        t["model.decoder.project_out.weight"] = f32(params["project_out"]).T
+        t["model.decoder.project_in.weight"] = f32T(params["project_in"])
+        t["model.decoder.project_out.weight"] = f32T(params["project_out"])
     for i, blk in enumerate(params["layers"]):
         pre = f"model.decoder.layers.{i}."
         t[pre + "self_attn_layer_norm.weight"] = f32(blk["self_attn_ln"]["g"])

@@ -504,3 +504,41 @@ def test_export_roundtrip_gpt2(tmp_path_factory, token_batch):
     with torch.no_grad():
         theirs = hf(torch.tensor(token_batch, dtype=torch.long)).logits
     _logits_close(ours, theirs)
+
+
+def test_export_roundtrip_opt(tmp_path_factory):
+    """models/hf_export.py save_opt_checkpoint: the IN-MEMORY params'
+    forward must match both reload paths. The in-memory comparison is the
+    load-bearing part (round-5 regression): OPT linears are stored
+    transposed, and safetensors serializes the raw buffer — a transposed
+    VIEW round-trips as garbage (both reload paths agreed with each other
+    on the mangled data, so a reload-vs-reload check could never catch it;
+    the trained OPT-125m scored ll -10 on its own training stream)."""
+    from llm_lns_quantization_tpu.models.hf_export import save_opt_checkpoint
+
+    bundle = build_model(
+        family="opt", preset="tiny",
+        config_overrides={"vocab_size": 256, "max_position_embeddings": 64},
+        dtype=jnp.float32, seed=12,
+    )
+    path = str(tmp_path_factory.mktemp("opt_export"))
+    save_opt_checkpoint(bundle.cfg, bundle.params, path)
+
+    toks = np.asarray(
+        np.arange(24, dtype=np.int32).reshape(2, 12) * 7 % 256)
+    mem = np.asarray(bundle.forward(bundle.params, bundle.cfg,
+                                    jnp.asarray(toks)))
+
+    re_bundle = build_model(family="opt", checkpoint=path, dtype=jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(bundle.params),
+                    jax.tree_util.tree_leaves(re_bundle.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(re_bundle.forward(re_bundle.params, re_bundle.cfg,
+                                     jnp.asarray(toks))),
+        mem, rtol=1e-5, atol=1e-5)
+
+    hf = transformers.OPTForCausalLM.from_pretrained(path).eval()
+    with torch.no_grad():
+        theirs = hf(torch.tensor(toks, dtype=torch.long)).logits
+    _logits_close(jnp.asarray(mem), theirs)
