@@ -1,0 +1,106 @@
+"""Llama-2-13B **bf16** decode on one 16 GB chip via host offload.
+
+The capacity claim this measures (VERDICT r4 missing #3): 13B bf16 weights
+are 26 GB — impossible to hold in HBM — but with pinned-host residency
+(models/offload.py) the layer-streamed decode keeps only one layer (~650 MB)
+plus the KV cache on-chip. This is the TPU-native equivalent of the
+reference's accelerate cpu/disk offload (huggingface.py:30-54), and like it,
+it trades bandwidth for capacity: every step re-reads 26 GB over PCIe, so
+the expected ceiling is PCIe bandwidth / 26 GB steps/s. The packed 4-bit
+tier (BASELINE.md 13B table: int4gk 196 tok/s in-HBM) is the speed answer;
+this is the exact-bf16 answer.
+
+Weights are generated ON the TPU leaf-by-leaf and moved device->pinned_host
+(no 26 GB tunnel transfer; the pinned buffers live on the TPU host).
+
+Usage: python scripts/offload_13b.py [--steps 8] [--batch 8] [--prompt 32]
+Appends one JSON row to BENCH_llama2_13b.jsonl (format "bf16;offload:host").
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from scripts.bench_serving_7b import _gen_leaf  # noqa: E402
+
+from llm_lns_quantization_tpu.models import llama  # noqa: E402
+from llm_lns_quantization_tpu.models.offload import (  # noqa: E402
+    HostOffloadLlama,
+    host_sharding,
+    supports_host_offload,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama2_13b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--out", default="/root/repo/BENCH_llama2_13b.jsonl")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if not supports_host_offload():
+        print(json.dumps({"error": "no pinned_host memory on this backend"}))
+        return 1
+
+    cfg = getattr(llama.LlamaConfig, args.preset)(dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: llama.init_params(k, cfg), jax.random.PRNGKey(0))
+    flat, treedef = jax.tree_util.tree_flatten(shapes)
+    hsh = host_sharding()
+    t0 = time.time()
+    leaves = []
+    total = 0
+    for i, s in enumerate(flat):
+        x = _gen_leaf(i, tuple(s.shape))  # on-TPU fill, bounded HBM
+        xh = jax.device_put(x, hsh)       # device -> pinned host (no tunnel)
+        jax.block_until_ready(xh)
+        del x
+        leaves.append(xh)
+        total += xh.nbytes
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    print(f"# {total/2**30:.1f} GiB bf16 staged to pinned host in "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    ol = HostOffloadLlama(cfg, params)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (args.batch, args.prompt)), jnp.int32)
+
+    t0 = time.time()
+    out = ol.greedy_decode(prompt, 2)   # warm both compiles (prefill + step)
+    jax.device_get(out)
+    warm_s = time.time() - t0
+    t0 = time.time()
+    out = jax.device_get(ol.greedy_decode(prompt, args.steps))
+    dt = time.time() - t0
+    rec = {
+        "ts": int(time.time()),
+        "format": "bf16;offload:host",
+        "preset": args.preset,
+        "weights_gib": round(total / 2**30, 1),
+        "decode_tokens_per_s": round(args.batch * args.steps / dt, 2),
+        "steps": args.steps,
+        "batch": args.batch,
+        "warm_s": round(warm_s, 1),
+        "t_wall_s": round(dt, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
