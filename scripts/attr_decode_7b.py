@@ -125,10 +125,12 @@ def main():
         def body(i, x):
             x = _norm(x + i * jnp.asarray(1e-6, x.dtype))
             for lp in params["layers"]:
-                a = dense(x, lp["q_proj"], None, NULL_ACT_QUANT, "attn_q")
-                a = dense(a, lp["k_proj"], None, NULL_ACT_QUANT, "attn_k")
-                a = dense(a, lp["v_proj"], None, NULL_ACT_QUANT, "attn_v")
-                a = dense(a, lp["o_proj"], None, NULL_ACT_QUANT, "attn_out")
+                q = dense(x, lp["q_proj"], None, NULL_ACT_QUANT, "attn_q")
+                k = dense(x, lp["k_proj"], None, NULL_ACT_QUANT, "attn_k")
+                v = dense(x, lp["v_proj"], None, NULL_ACT_QUANT, "attn_v")
+                a = dense(q, lp["o_proj"], None, NULL_ACT_QUANT, "attn_out")
+                # keep k/v live without shape coupling (GQA narrows them)
+                a = a + (jnp.sum(k) + jnp.sum(v)).astype(a.dtype) * 1e-9
                 g = dense(a, lp["gate_proj"], None, NULL_ACT_QUANT, "mlp_gate")
                 u = dense(a, lp["up_proj"], None, NULL_ACT_QUANT, "mlp_up")
                 x = _norm(dense(g * u, lp["down_proj"], None, NULL_ACT_QUANT,
@@ -191,7 +193,7 @@ def main():
                 q = _apply_rope(q, cos, sin)  # [B, T, heads, D] layout
                 act = jax.nn.silu(gu.astype(jnp.float32)).astype(x.dtype)
                 gu = _norm(act * gu)
-                x = _norm(h + q[:, :, 0])
+                x = _norm(h + jnp.sum(q).astype(h.dtype) * 1e-9)
             return x, gu
         return jax.lax.fori_loop(0, ITERS, body, (x0, gu0))
 
