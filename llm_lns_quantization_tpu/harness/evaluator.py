@@ -385,8 +385,11 @@ def evaluate(
         )
         output_base_path.mkdir(parents=True, exist_ok=True)
         for task_name, _ in task_dict_items:
+            # json=<split>:<key>:<path> task names embed a filesystem path;
+            # keep the write-out file a single path component
+            fname = task_name.replace("/", "_") + "_write_out_info.json"
             with open(
-                output_base_path.joinpath(f"{task_name}_write_out_info.json"),
+                output_base_path.joinpath(fname),
                 "w",
                 encoding="utf8",
             ) as fp:

@@ -135,7 +135,10 @@ def _bootstrap_doc_stderr(out_dir, task_name, iters=10000, seed=17):
 
     import numpy as np
 
-    path = glob.glob(os.path.join(out_dir, f"{task_name}*write_out_info.json"))
+    # the evaluator flattens path-bearing task names (json=...:/path) into
+    # one component the same way
+    safe = task_name.replace("/", "_")
+    path = glob.glob(os.path.join(out_dir, f"{safe}*write_out_info.json"))
     if not path:
         return {}
     with open(path[0]) as f:
