@@ -134,10 +134,19 @@ class HostOffloadLlama:
 
         x = self._embed(self.params["embed"], tokens)
         new_cache = [] if decode else None
-        for i, lp in enumerate(self.params["layers"]):
-            x, lc = self._layer(lp, x, mask_bias, cos, sin,
+        layers = self.params["layers"]
+        # double-buffered streaming: issue layer i+1's host->HBM copy
+        # BEFORE dispatching layer i's compute, so the runtime overlaps the
+        # PCIe transfer with the matmuls (peak HBM = 2 layers + cache).
+        # The layer program's internal device_put is then an identity.
+        put = functools.partial(jax.device_put, device=self._dev_sh)
+        dev_lp = put(layers[0])
+        for i in range(len(layers)):
+            nxt = put(layers[i + 1]) if i + 1 < len(layers) else None
+            x, lc = self._layer(dev_lp, x, mask_bias, cos, sin,
                                 cache[i] if decode else None,
                                 cache_index if decode else None)
+            dev_lp = nxt
             if decode:
                 new_cache.append(lc)
         logits = self._head(self.params["final_norm"],
