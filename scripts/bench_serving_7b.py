@@ -124,6 +124,9 @@ def main():
     ap.add_argument("--preset", default="llama2_7b",
                     help="LlamaConfig classmethod preset (llama2_7b / "
                          "llama2_13b)")
+    ap.add_argument("--score_batch", type=int, default=8,
+                    help="score-mode batch (M = batch x 1024): 16 doubles "
+                         "M to test the once-dot constant's amortization")
     ap.add_argument("--prompt", type=int, default=128,
                     help="decode-mode prompt length (long-context KV rows)")
     ap.add_argument("--steps", type=int, default=32,
@@ -152,7 +155,7 @@ def main():
         )
 
     DB, DP, DS = 8, args.prompt, args.steps
-    SB, ST = 8, 1024
+    SB, ST = args.score_batch, 1024
     rng = np.random.default_rng(1)
     prompt = jnp.asarray(rng.integers(0, 32000, (DB, DP)).astype(np.int32))
     stoks = jnp.asarray(rng.integers(0, 32000, (SB, ST)).astype(np.int32))
@@ -205,6 +208,10 @@ def main():
         ov = {k: v for k, v in os.environ.items() if k.startswith("LLMQ_")}
         if ov:
             rec["env_overrides"] = ov
+        if args.score and SB != 8:
+            # non-standard score batch: mark so the cached-7B surfacing
+            # never mistakes these for the comparable SB=8 rows
+            rec["geometry"] = f"sb{SB}"
         if (DP, DS) != (128, 32) and not (args.score or args.batcher):
             # non-default decode geometry (long-context KV rows): mark it so
             # bench.py's cached-7B surfacing never mistakes these for the
