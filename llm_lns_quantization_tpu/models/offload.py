@@ -63,10 +63,20 @@ def offload_params(params, device=None):
 class HostOffloadLlama:
     """Layer-streamed Llama decode with pinned-host weight residency."""
 
-    def __init__(self, cfg: LlamaConfig, params, device=None):
+    def __init__(self, cfg: LlamaConfig, params, device=None,
+                 group_size: int = 1):
         self.cfg = cfg
         self.device = device or jax.devices()[0]
         self._dev_sh = device_sharding(self.device)
+        # dispatch granularity: ``group_size`` layers run inside ONE jitted
+        # program (a pytree-of-layers argument; same compile reused for
+        # every full group). Measured at 13B on the dev chip the step is
+        # PCIe-transfer-bound, not dispatch-bound, and finer prefetch
+        # granularity wins: G=1 3.25 tok/s > G=2 3.06 > G=4 2.89
+        # (BENCH_llama2_13b.jsonl) — so the default is 1; the knob stays
+        # for hosts where dispatch latency dominates instead. Peak HBM
+        # grows with group_size (2 groups resident during prefetch).
+        self.group_size = max(1, int(group_size))
         # embed/head stream too (param-free programs; weights are args)
         self.params = offload_params(params, self.device)
 
@@ -85,10 +95,7 @@ class HostOffloadLlama:
             x = rms_norm(x, g, cfg_.rms_norm_eps)
             return jnp.dot(x, h, preferred_element_type=jnp.float32)
 
-        @jax.jit
-        def layer_fn(lp, x, mask_bias, cos, sin, cache, cache_index):
-            lp = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, dev_sh), lp)
+        def one_layer(lp, x, mask_bias, cos, sin, cache, cache_index):
             h = rms_norm(x, lp["input_norm"], cfg_.rms_norm_eps)
             attn_out, new_cache = _attention(
                 h, lp, cfg_, NULL_ACT_QUANT, mask_bias, cos, sin,
@@ -102,9 +109,21 @@ class HostOffloadLlama:
                           "mlp_down")
             return x, new_cache
 
+        @jax.jit
+        def group_fn(lps, x, mask_bias, cos, sin, caches, cache_index):
+            lps = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, dev_sh), lps)
+            new_caches = []
+            for i, lp in enumerate(lps):
+                x, nc = one_layer(lp, x, mask_bias, cos, sin,
+                                  caches[i] if caches is not None else None,
+                                  cache_index)
+                new_caches.append(nc)
+            return x, new_caches
+
         self._embed = embed_fn
         self._head = head_fn
-        self._layer = layer_fn
+        self._group = group_fn
 
     def forward(self, tokens, cache: Optional[List] = None,
                 cache_index=None, positions=None):
@@ -135,20 +154,24 @@ class HostOffloadLlama:
         x = self._embed(self.params["embed"], tokens)
         new_cache = [] if decode else None
         layers = self.params["layers"]
-        # double-buffered streaming: issue layer i+1's host->HBM copy
-        # BEFORE dispatching layer i's compute, so the runtime overlaps the
-        # PCIe transfer with the matmuls (peak HBM = 2 layers + cache).
-        # The layer program's internal device_put is then an identity.
+        G = self.group_size
+        groups = [layers[s:s + G] for s in range(0, len(layers), G)]
+        # double-buffered streaming: issue group g+1's host->HBM copy
+        # BEFORE dispatching group g's compute, so the runtime overlaps the
+        # PCIe transfer with the matmuls (peak HBM = 2 groups + cache).
+        # The group program's internal device_put is then an identity.
         put = functools.partial(jax.device_put, device=self._dev_sh)
-        dev_lp = put(layers[0])
-        for i in range(len(layers)):
-            nxt = put(layers[i + 1]) if i + 1 < len(layers) else None
-            x, lc = self._layer(dev_lp, x, mask_bias, cos, sin,
-                                cache[i] if decode else None,
-                                cache_index if decode else None)
-            dev_lp = nxt
+        dev_g = put(groups[0])
+        for g in range(len(groups)):
+            nxt = put(groups[g + 1]) if g + 1 < len(groups) else None
+            s = g * G
+            x, lcs = self._group(
+                dev_g, x, mask_bias, cos, sin,
+                cache[s:s + len(dev_g)] if decode else None,
+                cache_index if decode else None)
+            dev_g = nxt
             if decode:
-                new_cache.append(lc)
+                new_cache.extend(lcs)
         logits = self._head(self.params["final_norm"],
                             self.params["lm_head"], x)
         return (logits, new_cache) if decode else logits

@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--group_size", type=int, default=1)
     ap.add_argument("--out", default="/root/repo/BENCH_llama2_13b.jsonl")
     args = ap.parse_args()
 
@@ -73,7 +74,7 @@ def main():
     print(f"# {total/2**30:.1f} GiB bf16 staged to pinned host in "
           f"{time.time()-t0:.0f}s", flush=True)
 
-    ol = HostOffloadLlama(cfg, params)
+    ol = HostOffloadLlama(cfg, params, group_size=args.group_size)
     rng = np.random.default_rng(3)
     prompt = jnp.asarray(
         rng.integers(0, cfg.vocab_size, (args.batch, args.prompt)), jnp.int32)
@@ -88,6 +89,7 @@ def main():
     rec = {
         "ts": int(time.time()),
         "format": "bf16;offload:host",
+        "group_size": args.group_size,
         "preset": args.preset,
         "weights_gib": round(total / 2**30, 1),
         "decode_tokens_per_s": round(args.batch * args.steps / dt, 2),
