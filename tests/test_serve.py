@@ -134,3 +134,32 @@ def test_tpulm_serve_mode_matches_lockstep_greedy_until():
               quant="w:w8a8;pallas", serve=2)
     out = q.greedy_until(list(reqs[:2]))
     assert all(isinstance(s, str) for s in out)
+
+
+def test_batcher_phase_stats():
+    """generate() fills last_stats with the phase attribution the round-5
+    batcher study relies on (BASELINE.md): phases are non-negative and sum
+    to <= wall, occupancy is emitted/slot_steps in (0, 1], and the token
+    accounting matches the returned outputs exactly."""
+    import numpy as np
+
+    from llm_lns_quantization_tpu.lm.serve import ContinuousBatcher
+    from llm_lns_quantization_tpu.models import build_model
+
+    bundle = build_model(family="gpt2", preset="tiny", seed=7,
+                         dtype=jnp.float32)
+    cb = ContinuousBatcher(bundle, slots=2, max_len=64, steps_per_dispatch=4)
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(1, 200, n)) for n in (5, 9, 3)]
+    outs = cb.generate(prompts, max_new_tokens=6)
+
+    st = cb.last_stats
+    phases = [st[k] for k in ("t_admit_build", "t_prefill", "t_chunk",
+                              "t_account")]
+    assert all(p >= 0 for p in phases)
+    assert sum(phases) <= st["wall_s"] + 1e-6
+    assert st["emitted_tokens"] == sum(len(o) for o in outs) == 18
+    assert st["admitted"] == 3
+    assert st["slot_steps"] == st["executed_steps"] * cb.slots
+    assert 0 < st["occupancy"] <= 1
+    assert st["n_prefill_dispatches"] >= 1 and st["n_chunks"] >= 1
