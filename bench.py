@@ -243,7 +243,7 @@ def _run_7b_subprocess(rec, tag, formats, extra, gate, note):
         stdout = (e.stdout or b"")
         if isinstance(stdout, bytes):
             stdout = stdout.decode(errors="replace")
-        rec[f"partial_{tag}"] = f"timeout after {int(remaining)}s"
+        rec[f"partial_{tag}_{note}"] = f"timeout after {int(remaining)}s"
     got = False
     for line in stdout.splitlines():
         try:

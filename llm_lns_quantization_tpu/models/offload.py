@@ -90,8 +90,11 @@ class HostOffloadLlama:
 
         @jax.jit
         def head_fn(final_norm, lm_head, x):
+            # tied-embedding configs pass the embed table (transposed here)
             g = jax.device_put(final_norm, dev_sh)
             h = jax.device_put(lm_head, dev_sh)
+            if cfg_.tie_word_embeddings:
+                h = h.T
             x = rms_norm(x, g, cfg_.rms_norm_eps)
             return jnp.dot(x, h, preferred_element_type=jnp.float32)
 
@@ -102,8 +105,15 @@ class HostOffloadLlama:
                 cache, cache_index)
             x = x + attn_out
             h = rms_norm(x, lp["post_attn_norm"], cfg_.rms_norm_eps)
-            gate = dense(h, lp["gate_proj"], None, NULL_ACT_QUANT, "mlp_gate")
-            up = dense(h, lp["up_proj"], None, NULL_ACT_QUANT, "mlp_up")
+            if "gateup_proj" in lp:  # fuse_projections serving layout
+                gu = dense(h, lp["gateup_proj"], None, NULL_ACT_QUANT,
+                           "mlp_gate")
+                gate = gu[..., :cfg_.intermediate_size]
+                up = gu[..., cfg_.intermediate_size:]
+            else:
+                gate = dense(h, lp["gate_proj"], None, NULL_ACT_QUANT,
+                             "mlp_gate")
+                up = dense(h, lp["up_proj"], None, NULL_ACT_QUANT, "mlp_up")
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
             x = x + dense(act * up, lp["down_proj"], None, NULL_ACT_QUANT,
                           "mlp_down")
@@ -172,8 +182,9 @@ class HostOffloadLlama:
             dev_g = nxt
             if decode:
                 new_cache.extend(lcs)
-        logits = self._head(self.params["final_norm"],
-                            self.params["lm_head"], x)
+        head_w = (self.params["embed"] if self.cfg.tie_word_embeddings
+                  else self.params["lm_head"])
+        logits = self._head(self.params["final_norm"], head_w, x)
         return (logits, new_cache) if decode else logits
 
     def greedy_decode(self, prompt, steps: int, max_len: Optional[int] = None):

@@ -755,6 +755,13 @@ def _xla_kpair_once_dot(x, packed, plane, b2d, out_dtype):
     to one nibble half-plane (``s``: first packed row, for band slicing —
     always 0 here since the full plane decodes at once).
 
+    The scratch plane is bf16 DELIBERATELY: it halves the materialize
+    round-trip and matches what the fused Mosaic kernels feed the MXU
+    (their VMEM planes are bf16 too); the chunked fallback dots against
+    f32 planes, so loglikelihoods differ across the M threshold by normal
+    bf16 rounding — within quantization-error tolerance, and paired
+    accuracy sweeps always score all formats at the same geometry.
+
     The anti-materialization chunking (_xla_kpair_dot) remains the
     decode-M fallback, where the [M, N] accumulator is tiny and the packed
     read is the whole game. This is the harness's hottest path —

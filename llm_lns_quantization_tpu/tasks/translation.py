@@ -50,7 +50,8 @@ def _char_class(ch: str) -> str:
     o = ord(ch)
     if 0x3040 <= o <= 0x309F:
         return "hira"
-    if 0x30A0 <= o <= 0x30FF or o == 0x30FC:
+    if 0x30A0 <= o <= 0x30FF or 0xFF66 <= o <= 0xFF9D:
+        # incl. halfwidth katakana, which would otherwise split as "other"
         return "kata"
     if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
         return "han"

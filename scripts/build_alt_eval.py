@@ -34,7 +34,8 @@ DOC_CHARS = 4096  # clip documents to roughly one context window of text
 
 
 def _headers():
-    for dirpath, _, files in os.walk(H_ROOT):
+    for dirpath, dirnames, files in os.walk(H_ROOT):
+        dirnames[:] = sorted(dirnames)  # readdir order is not deterministic
         for fn in sorted(files):
             if fn.endswith((".h", ".hpp")):
                 yield os.path.join(dirpath, fn)
@@ -42,7 +43,7 @@ def _headers():
 
 def _htmls():
     for dirpath, dirnames, files in os.walk(HTML_ROOT):
-        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
         for fn in sorted(files):
             if fn.endswith(".html"):
                 yield os.path.join(dirpath, fn)

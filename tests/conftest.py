@@ -52,6 +52,17 @@ except ImportError:
     )
 
 
+# Pin the CJK segmenters to the built-in script-class fallback
+# (tasks/translation.py): the wmt20-en-ja goldens were bootstrapped with the
+# fallback, and on a machine where nagisa/jieba ARE installed the optional
+# path would segment differently and fail them. A None sys.modules entry
+# makes `import nagisa` raise ImportError deterministically.
+import sys as _sys  # noqa: E402
+
+for _seg in ("nagisa", "jieba"):
+    _sys.modules.setdefault(_seg, None)
+
+
 @pytest.fixture(autouse=True)
 def _exercise_fused_kernels():
     """Unit tests use tiny weights, which the production dispatch would route

@@ -50,6 +50,31 @@ def test_streamed_forward_matches_in_hbm(tiny):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_streamed_forward_tied_and_fused_layouts():
+    """Layout branches llama.forward handles must not drift out of the
+    streamed body (code-review r5): tied embeddings (no lm_head leaf) and
+    the fuse_projections serving layout (qkv_proj/gateup_proj)."""
+    from llm_lns_quantization_tpu.models import llama
+
+    rng = np.random.default_rng(2)
+    tied = build_model(family="llama", preset="tiny", dtype=jnp.float32,
+                      seed=6, config_overrides={"tie_word_embeddings": True})
+    toks = jnp.asarray(rng.integers(1, tied.cfg.vocab_size, (2, 7)),
+                       jnp.int32)
+    want = np.asarray(tied.forward(tied.params, tied.cfg, toks))
+    got = np.asarray(offload.HostOffloadLlama(tied.cfg, tied.params)
+                     .forward(toks))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    plain = build_model(family="llama", preset="tiny", dtype=jnp.float32,
+                        seed=6)
+    fused = llama.fuse_projections(plain.params)
+    want2 = np.asarray(plain.forward(fused, plain.cfg, toks))
+    got2 = np.asarray(offload.HostOffloadLlama(plain.cfg, fused)
+                      .forward(toks))
+    np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=2e-5)
+
+
 def test_streamed_greedy_decode_matches_in_hbm(tiny):
     from bench import _decode_fn
     from llm_lns_quantization_tpu.quant import ActQuantizer, QuantConfig
