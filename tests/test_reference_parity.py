@@ -233,8 +233,12 @@ AGGREGATION_OFFLINE_GATED = {
     "scrolls_qmsum", "scrolls_summscreenfd", "squad2",
 }
 
-# reference process_results needs the nagisa ja tokenizer (same gate as ours)
-RESULTS_GATED = {"wmt20-en-ja"}
+# the reference's process_results RAISES ImportError for zh/ja without
+# jieba/nagisa; since round 5 ours segments with a built-in script-class
+# fallback instead (tasks/translation.py — a deliberate extension), so
+# results parity against the reference oracle is unevaluable offline for
+# both pairs (tests/conftest.py pins the segmenters to the fallback)
+RESULTS_GATED = {"wmt20-en-ja", "wmt20-en-zh"}
 
 
 def req_list(reqs):
