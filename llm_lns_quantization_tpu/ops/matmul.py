@@ -165,8 +165,11 @@ def _lns_decode(u, frac_bits):
 # 0.70x of bf16 on GPT-2 scoring); the dequant materializes only the [K, N]
 # bf16 weight (negligible next to M*K + M*N activation traffic). Below it —
 # the decode/serving regime — weight HBM traffic dominates and the fused
-# kernel's packed reads win.
-_XLA_DOT_MIN_M = 1024
+# kernel's packed reads win. Env-overridable (LLMQ_XLA_DOT_MIN_M) so the
+# mid-M band (batched admission prefill, M~1024) can be probed with the
+# fused kernels without a code edit; the default is the measured boundary.
+_XLA_DOT_MIN_M = int(__import__("os").environ.get("LLMQ_XLA_DOT_MIN_M",
+                                                  1024))
 
 # Minimum weight elements for the fused Pallas kernels. Default: never —
 # every measured regime on v5e favors the XLA path, because XLA fuses the
