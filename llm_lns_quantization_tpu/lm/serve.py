@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import matmul as qmatmul
 from ..quant.apply import ActQuantizer
 from ..quant.config import QuantConfig
 
@@ -275,9 +276,15 @@ class ContinuousBatcher:
                     toks[j, : len(ids)] = ids
                     true_lens[j] = len(ids)
                     slots_idx[j] = s
-                cache_n, first = self._prefill_fn(padded, n_pad)(
-                    params, jnp.asarray(toks), jnp.asarray(true_lens)
-                )
+                # standalone-prefill dispatch scope: int4gk mid-M matmuls
+                # take the fused kernel here (~19% faster prefill phase at
+                # 7B, measured round 5) — but NOT in fused prefill+decode
+                # programs, where the same kernel loses (ops/matmul.py
+                # _INT4GK_KERNEL_MAX_M rationale)
+                with qmatmul.int4gk_prefill_kernel():
+                    cache_n, first = self._prefill_fn(padded, n_pad)(
+                        params, jnp.asarray(toks), jnp.asarray(true_lens)
+                    )
                 cache = self._scatter_rows(cache, cache_n, jnp.asarray(slots_idx))
                 real = jnp.asarray(slots_idx[:n])
                 lengths = lengths.at[real].set(jnp.asarray(true_lens[:n]))

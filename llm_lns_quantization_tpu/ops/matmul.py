@@ -29,6 +29,7 @@ those shapes, and the [K, N] dequant round-trip is negligible next to the
 activation traffic. Weights stay packed in HBM either way.
 """
 
+import contextlib
 import functools
 
 import jax
@@ -672,6 +673,42 @@ _KPAIR_ONCE_DOT_MIN_M = _env_int("LLMQ_KPAIR_ONCE_DOT_MIN_M", 2048)
 # LUT decodes are too expensive inside the kernel's serialized tile loop).
 _INT4GK_FUSED_MIN_WEIGHT = _env_int("LLMQ_INT4GK_FUSED_MIN_WEIGHT",
                                     12_000_000)
+# int4gk mid-M (M in [_XLA_DOT_MIN_M, _KPAIR_ONCE_DOT_MIN_M)) is
+# DISPATCH-CONTEXT dependent (round 5, both directions measured at 7B,
+# M=1024): as a STANDALONE dispatch — the batcher's batched admission
+# prefill — the fused kernel beats the mid-M chunked-XLA path by ~19%
+# (prefill phase 466/451 -> 379/374 ms on same-session pairs, end-to-end
+# 292.5 -> 307.8 gen-tok/s, chunk phase unchanged at 1.26 s); but traced
+# INSIDE a larger program — the lock-step prefill+scan decode bench — the
+# same kernel at the same shape LOSES ~8% end-to-end (430.4 -> 396.0/396.4
+# tok/s, replicated): an opaque pallas_call at the head of a fused program
+# blocks the overlap XLA schedules around its own chunked dots. So the
+# module default keeps chunked-XLA at mid-M, and `int4gk_prefill_kernel()`
+# scopes the kernel to standalone-prefill traces (lm/serve.py). The env
+# knob forces a global max-M for probing.
+_INT4GK_KERNEL_MAX_M = _env_int("LLMQ_INT4GK_KERNEL_MAX_M", 0)
+_INT4GK_KERNEL_MAX_M_CTX = 0
+
+
+@contextlib.contextmanager
+def int4gk_prefill_kernel(max_m=2048):
+    """Trace-time scope: route int4gk mid-M matmuls (M < ``max_m``) to the
+    fused Mosaic kernel. Wrap the CALL of a jitted standalone-prefill
+    program (decision is baked at first trace; re-traces of new shape
+    buckets must also happen inside the scope — lm/serve.py wraps every
+    prefill invocation)."""
+    global _INT4GK_KERNEL_MAX_M_CTX
+    prev = _INT4GK_KERNEL_MAX_M_CTX
+    _INT4GK_KERNEL_MAX_M_CTX = max_m
+    try:
+        yield
+    finally:
+        _INT4GK_KERNEL_MAX_M_CTX = prev
+
+
+def _int4gk_xla_min_m():
+    return max(_INT4GK_KERNEL_MAX_M, _INT4GK_KERNEL_MAX_M_CTX,
+               _XLA_DOT_MIN_M)
 # nf4k: measured round 4 at 7B decode — fused kernel 0.565x bf16 vs
 # chunked-XLA 0.504x (the packed-word LUT decode dominates either way, but
 # the kernel's single packed read wins) — so 7B-class decode shapes take
@@ -921,21 +958,48 @@ def _int4gk_matmul_kernel(xe_ref, xo_ref, w_ref, s_ref, z_ref, b_ref, o_ref,
     ).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "group_size", "block_m", "block_n", "out_dtype"))
 def int4gk_matmul(x, packed, scale, zero, group_size=128, block_m=None,
                   block_n=None, out_dtype=jnp.bfloat16, bias=None):
     """[M, K] @ kpair-packed group-affine INT4 [K, N] -> [M, N].
 
     ``packed`` [K/2, N] pairs adjacent K rows; ``scale``/``zero`` [K/group, N]
-    (ops.packing.Int4GroupKWeight — the GPTQ grid at true 0.5625 B/elem)."""
+    (ops.packing.Int4GroupKWeight — the GPTQ grid at true 0.5625 B/elem).
+
+    Thin wrapper resolving the context-dependent mid-M dispatch threshold
+    (`int4gk_prefill_kernel` scope) into a STATIC arg of the jitted body:
+    the decision must ride the jit cache key, or the first trace of a shape
+    outside the scope would be silently reused inside it."""
+    return _int4gk_matmul_jit(
+        x, packed, scale, zero, group_size=group_size, block_m=block_m,
+        block_n=block_n, out_dtype=out_dtype, bias=bias,
+        xla_min_m=_int4gk_xla_min_m())
+
+
+def _int4gk_matmul_nojit(x, packed, scale, zero, group_size=128, block_m=None,
+                         block_n=None, out_dtype=jnp.bfloat16, bias=None):
+    """Un-jitted body with the context threshold resolved — keeps the
+    ``fn.__wrapped__`` contract the pallas interpret-mode tests rely on."""
+    return _int4gk_matmul_jit.__wrapped__(
+        x, packed, scale, zero, group_size=group_size, block_m=block_m,
+        block_n=block_n, out_dtype=out_dtype, bias=bias,
+        xla_min_m=_int4gk_xla_min_m())
+
+
+int4gk_matmul.__wrapped__ = _int4gk_matmul_nojit
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group_size", "block_m", "block_n", "out_dtype", "xla_min_m"))
+def _int4gk_matmul_jit(x, packed, scale, zero, group_size=128, block_m=None,
+                       block_n=None, out_dtype=jnp.bfloat16, bias=None,
+                       xla_min_m=1024):
     M, K = x.shape
     K2, N = packed.shape
     assert K == K2 * 2
     rpg = group_size // 2
     block_m, block_n = _blocks(block_m, block_n)
     b2d = _bias2d(bias, N)
-    if (M >= _XLA_DOT_MIN_M or K * N < _INT4GK_FUSED_MIN_WEIGHT
+    if (M >= xla_min_m or K * N < _INT4GK_FUSED_MIN_WEIGHT
             or K2 % 128 != 0 or N % 128 != 0 or K2 > _K_RESIDENT_MAX):
         def plane(nib, s):
             g0, g1 = s // rpg, s // rpg + nib.shape[0] // rpg

@@ -1286,6 +1286,18 @@ def test_int4gk_dispatch_policy():
 
     x7 = jnp.zeros((8, 4096), jnp.bfloat16)
     assert has_pallas(x7, w7b)                      # 7B decode: fused kernel
+    # mid-M (M=1024) is dispatch-context dependent (round 5, both measured
+    # at 7B): default — inside fused prefill+decode programs — keeps
+    # chunked XLA (kernel there lost 430 -> 396 tok/s end-to-end), while
+    # the standalone-prefill scope takes the kernel (batcher prefill phase
+    # 466 -> 379 ms, end-to-end 292.5 -> 307.8 gen-tok/s)
+    xmid = jnp.zeros((1024, 4096), jnp.bfloat16)
+    assert not has_pallas(xmid, w7b)
+    with qmm.int4gk_prefill_kernel():
+        assert has_pallas(xmid, w7b)
+        assert has_pallas(x7, w7b)                  # decode-M: kernel either way
+        assert not has_pallas(jnp.zeros((2048, 4096), jnp.bfloat16), w7b)
+    assert not has_pallas(xmid, w7b)                # scope restores
     assert not has_pallas(jnp.zeros((2048, 4096), jnp.bfloat16), w7b)  # score
     assert not has_pallas(jnp.zeros((8, 3200), jnp.bfloat16), wxl)  # 1.5B: XLA
     jax.clear_caches()
